@@ -1,0 +1,526 @@
+"""k-diffusion-family samplers as single compiled ``lax.scan`` programs.
+
+Behavioural parity targets (studied, not copied):
+  * base loop + prepare     — sgm/modules/diffusionmodules/sampling.py:24-86
+  * Euler/Heun EDM (churn)  — sampling.py:88-165,334-356
+  * EulerAncestral          — sampling.py:360-367
+  * DPM++ 2S Ancestral      — sampling.py:370-407  (the CCEdit default)
+  * DPM++ 2M                — sampling.py:410-485
+  * Linear multistep (LMS)  — sampling.py:296-331
+  * inpainting / blending / sdedit modes — sampling.py:138-165,207-293
+  * ancestral step math     — sampling_utils.py:27-48
+
+TPU-first redesign
+------------------
+The reference runs an eager Python loop with a CUDA dispatch per op.  Here the
+entire sigma schedule and every per-step scalar (sigma_down/up, DPM++ mults,
+LMS coefficients) are precomputed host-side in float64 numpy, stacked into
+per-step constant arrays, and the loop becomes one ``jax.lax.scan`` — a single
+XLA program per (shape, num_steps).  Steps whose math degenerates at
+``next_sigma == 0`` (Heun's correction, DPM++ 2S's midpoint) are peeled into an
+epilogue so no network evaluation is wasted — matching the reference's
+"save a network evaluation" branches exactly, but resolved at trace time.
+
+``denoise_fn(x, sigma_vec) -> denoised`` is any callable that already includes
+classifier-free guidance (see engine); samplers never inspect conditioning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.misc import append_dims
+
+Array = jnp.ndarray
+DenoiseFn = Callable[[Array, Array], Array]
+
+
+# --------------------------------------------------------------------------
+# host-side schedule math (float64 numpy)
+# --------------------------------------------------------------------------
+
+def get_ancestral_step(
+    sigma_from: np.ndarray, sigma_to: np.ndarray, eta: float = 1.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(sigma_down, sigma_up) split — sampling_utils.py:27-36."""
+    if not eta:
+        return sigma_to, np.zeros_like(sigma_to)
+    sigma_up = np.minimum(
+        sigma_to,
+        eta * (sigma_to**2 * (sigma_from**2 - sigma_to**2) / sigma_from**2) ** 0.5,
+    )
+    sigma_down = (sigma_to**2 - sigma_up**2) ** 0.5
+    return sigma_down, sigma_up
+
+
+def linear_multistep_coeff(order: int, t: np.ndarray, i: int, j: int) -> float:
+    """Adams-Bashforth coefficient: integral over [t_i, t_{i+1}] of the
+    Lagrange basis polynomial prod_{k!=j} (tau - t_{i-k}) / (t_{i-j} - t_{i-k}).
+
+    The reference evaluates this with scipy.integrate.quad
+    (sampling_utils.py:12-24); the integrand is an exact polynomial, so we
+    integrate it exactly with numpy.polynomial instead — faster and exact.
+    """
+    if order - 1 > i:
+        raise ValueError(f"order {order} too high for step {i}")
+    poly = np.polynomial.Polynomial([1.0])
+    for k in range(order):
+        if j == k:
+            continue
+        poly = poly * np.polynomial.Polynomial(
+            [-t[i - k] / (t[i - j] - t[i - k]), 1.0 / (t[i - j] - t[i - k])]
+        )
+    integ = poly.integ()
+    return float(integ(t[i + 1]) - integ(t[i]))
+
+
+def _to_neg_log_sigma(s):
+    return -np.log(s)
+
+
+def _to_sigma(nls):
+    return np.exp(-nls)
+
+
+# --------------------------------------------------------------------------
+# device-side helpers
+# --------------------------------------------------------------------------
+
+def _to_d(x: Array, sigma: Array, denoised: Array) -> Array:
+    return (x - denoised) / append_dims(sigma, x.ndim)
+
+
+def _bcast(v, x: Array) -> Array:
+    """Per-step scalar -> broadcastable over x."""
+    return jnp.asarray(v, dtype=x.dtype)
+
+
+# --------------------------------------------------------------------------
+# pre-step hooks: inpainting / blending (sampling.py:207-268)
+# --------------------------------------------------------------------------
+
+def _make_pre_fn(mode: Optional[str], x0: Optional[Array], mask: Optional[Array]):
+    """Returns fn(x, sigma_scalar, rng) applied before each sampler step.
+
+    * ``inpaint``: x = x*mask + ((x0 + n*sigma)/sqrt(1+sigma^2))*(1-mask)
+    * ``blend``:   first half of the clip is re-seeded from the noised x0's
+                   second half each step (frame-interpolation seeding,
+                   sampling.py:235-268; time axis = axis 1 in our BTHWC layout)
+    """
+    if mode is None:
+        return lambda x, sigma, rng: x
+    if mode == "inpaint":
+        def fn(x, sigma, rng):
+            noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
+            img_orig = (x0 + noise * sigma) / jnp.sqrt(1.0 + sigma**2)
+            return x * mask + img_orig * (1.0 - mask)
+        return fn
+    if mode == "blend":
+        def fn(x, sigma, rng):
+            noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
+            img_orig = (x0 + noise * sigma) / jnp.sqrt(1.0 + sigma**2)
+            t = x.shape[1]
+            return x.at[:, : t // 2].set(img_orig[:, t // 2 + 1 :])
+        return fn
+    raise ValueError(f"unknown pre-step mode {mode!r}")
+
+
+# --------------------------------------------------------------------------
+# sampler classes
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BaseSampler:
+    discretization: object = None  # ccedit_tpu.diffusion.Discretization
+    num_steps: Optional[int] = None
+    s_noise: float = 1.0
+
+    # ---- schedule -------------------------------------------------------
+    def get_sigmas(self, num_steps: Optional[int] = None) -> np.ndarray:
+        n = num_steps if num_steps is not None else self.num_steps
+        if n is None:
+            raise ValueError("num_steps not set")
+        return np.asarray(self.discretization(n, do_append_zero=True), dtype=np.float64)
+
+    def prepare_x(self, x: Array, sigmas: np.ndarray) -> Array:
+        # x *= sqrt(1 + sigma_0^2)  — sampling.py:50
+        return x * jnp.asarray(np.sqrt(1.0 + sigmas[0] ** 2), dtype=x.dtype)
+
+    # ---- public entry points -------------------------------------------
+    def __call__(
+        self,
+        denoise_fn: DenoiseFn,
+        x: Array,
+        rng: jax.Array,
+        num_steps: Optional[int] = None,
+    ) -> Array:
+        sigmas = self.get_sigmas(num_steps)
+        x = self.prepare_x(x, sigmas)
+        return self._run(denoise_fn, x, rng, sigmas, start_step=0, pre_fn=None)
+
+    def sdedit(
+        self,
+        denoise_steps: int,
+        denoise_fn: DenoiseFn,
+        x: Array,
+        rng: jax.Array,
+        num_steps: Optional[int] = None,
+    ) -> Array:
+        """Skip the first (num_steps - denoise_steps) iterations
+        (sampling.py:270-293).  x must already be the noised input."""
+        sigmas = self.get_sigmas(num_steps)
+        x = self.prepare_x(x, sigmas)
+        start = len(sigmas) - 1 - denoise_steps
+        return self._run(denoise_fn, x, rng, sigmas, start_step=start, pre_fn=None)
+
+    def sample_inpainting(
+        self, denoise_fn, x, rng, x0, mask, num_steps: Optional[int] = None
+    ) -> Array:
+        sigmas = self.get_sigmas(num_steps)
+        x = self.prepare_x(x, sigmas)
+        pre = _make_pre_fn("inpaint", x0, mask)
+        return self._run(denoise_fn, x, rng, sigmas, start_step=0, pre_fn=pre)
+
+    def sampling_blending(
+        self, denoise_fn, x, rng, x0, num_steps: Optional[int] = None
+    ) -> Array:
+        sigmas = self.get_sigmas(num_steps)
+        x = self.prepare_x(x, sigmas)
+        pre = _make_pre_fn("blend", x0, None)
+        return self._run(denoise_fn, x, rng, sigmas, start_step=0, pre_fn=pre)
+
+    # ---- to implement ---------------------------------------------------
+    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn) -> Array:
+        raise NotImplementedError
+
+
+def _scan_steps(body, x, rng, step_consts, pre_fn, sigma_for_pre):
+    """Run ``body(x, consts, rng)`` over stacked per-step constants via scan.
+
+    ``sigma_for_pre``: per-step sigma array aligned with step_consts, used by
+    the optional pre-step hook.
+    """
+    n = len(sigma_for_pre)
+    if n == 0:
+        return x, rng
+
+    consts = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype=jnp.float32), step_consts)
+    sig_pre = jnp.asarray(sigma_for_pre, dtype=jnp.float32)
+
+    def scan_body(carry, per_step):
+        x, rng = carry
+        consts_i, sig_i = per_step
+        rng, k_pre, k_step = jax.random.split(rng, 3)
+        if pre_fn is not None:
+            x = pre_fn(x, sig_i, k_pre)
+        x = body(x, consts_i, k_step)
+        return (x, rng), None
+
+    (x, rng), _ = jax.lax.scan(scan_body, (x, rng), (consts, sig_pre))
+    return x, rng
+
+
+# ---------------------------------------------------------------------------
+# EDM family (Euler / Heun with churn)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class EulerEDMSampler(BaseSampler):
+    s_churn: float = 0.0
+    s_tmin: float = 0.0
+    s_tmax: float = float("inf")
+
+    _heun: bool = dataclasses.field(default=False, init=False)
+
+    def _gammas(self, sigmas: np.ndarray) -> np.ndarray:
+        num_sigmas = len(sigmas)
+        gammas = np.zeros(num_sigmas - 1)
+        for i in range(num_sigmas - 1):
+            if self.s_tmin <= sigmas[i] <= self.s_tmax:
+                gammas[i] = min(self.s_churn / (num_sigmas - 1), 2**0.5 - 1)
+        return gammas
+
+    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn):
+        gammas = self._gammas(sigmas)
+        idx = np.arange(start_step, len(sigmas) - 1)
+        sig, nxt, gam = sigmas[idx], sigmas[idx + 1], gammas[idx]
+        sig_hat = sig * (gam + 1.0)
+        churn_std = np.sqrt(np.maximum(sig_hat**2 - sig**2, 0.0)) * self.s_noise
+
+        heun = self._heun
+        # Heun's correction is skipped when next_sigma == 0 (sampling.py:344-356)
+        use_corr = nxt > 1e-14 if heun else np.zeros_like(nxt, dtype=bool)
+
+        def body(x, consts, rng_i):
+            sigma_hat, next_sigma, churn, corr = consts
+            eps = jax.random.normal(rng_i, x.shape, dtype=x.dtype)
+            x = x + eps * churn
+            denoised = denoise_fn(x, sigma_hat)
+            d = _to_d(x, sigma_hat, denoised)
+            dt = next_sigma - sigma_hat
+            euler = x + dt * d
+            if not heun:
+                return euler
+            denoised2 = denoise_fn(euler, next_sigma)
+            d2 = _to_d(euler, next_sigma, denoised2)
+            corrected = x + dt * 0.5 * (d + d2)
+            return jnp.where(corr > 0, corrected, euler)
+
+        if heun and not bool(use_corr[-1]) and len(idx) > 0:
+            # peel the final (next_sigma==0) step: euler-only, saves one eval
+            consts_main = (sig_hat[:-1], nxt[:-1], churn_std[:-1], use_corr[:-1].astype(np.float32))
+            x, rng = _scan_steps(body, x, rng, consts_main, pre_fn, sig[:-1])
+
+            def last_body(x, consts, rng_i):
+                sigma_hat, next_sigma, churn = consts
+                eps = jax.random.normal(rng_i, x.shape, dtype=x.dtype)
+                x = x + eps * churn
+                denoised = denoise_fn(x, sigma_hat)
+                return x + (next_sigma - sigma_hat) * _to_d(x, sigma_hat, denoised)
+
+            rng, k_pre, k_step = jax.random.split(rng, 3)
+            if pre_fn is not None:
+                x = pre_fn(x, _bcast(sig[-1], x), k_pre)
+            x = last_body(
+                x,
+                (_bcast(sig_hat[-1], x), _bcast(nxt[-1], x), _bcast(churn_std[-1], x)),
+                k_step,
+            )
+            return x
+
+        consts = (sig_hat, nxt, churn_std, use_corr.astype(np.float32))
+        x, rng = _scan_steps(body, x, rng, consts, pre_fn, sig)
+        return x
+
+
+@dataclasses.dataclass
+class HeunEDMSampler(EulerEDMSampler):
+    def __post_init__(self):
+        self._heun = True
+
+
+# ---------------------------------------------------------------------------
+# Ancestral family
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class AncestralSampler(BaseSampler):
+    eta: float = 1.0
+
+    def _ancestral_tables(self, sigmas: np.ndarray, start_step: int):
+        idx = np.arange(start_step, len(sigmas) - 1)
+        sig, nxt = sigmas[idx], sigmas[idx + 1]
+        down, up = get_ancestral_step(sig, nxt, eta=self.eta)
+        return sig, nxt, down, up
+
+    def _ancestral_noise(self, x, rng_i, next_sigma, sigma_up):
+        noise = jax.random.normal(rng_i, x.shape, dtype=x.dtype)
+        return jnp.where(next_sigma > 0.0, x + noise * (self.s_noise * sigma_up), x)
+
+
+@dataclasses.dataclass
+class EulerAncestralSampler(AncestralSampler):
+    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn):
+        sig, nxt, down, up = self._ancestral_tables(sigmas, start_step)
+
+        def body(x, consts, rng_i):
+            sigma, next_sigma, sigma_down, sigma_up = consts
+            denoised = denoise_fn(x, sigma)
+            d = _to_d(x, sigma, denoised)
+            x = x + (sigma_down - sigma) * d
+            return self._ancestral_noise(x, rng_i, next_sigma, sigma_up)
+
+        x, rng = _scan_steps(body, x, rng, (sig, nxt, down, up), pre_fn, sig)
+        return x
+
+
+@dataclasses.dataclass
+class DPMPP2SAncestralSampler(AncestralSampler):
+    """DPM-Solver++(2S) with ancestral noise — CCEdit's shipped sampler.
+
+    Per-step mults (sampling.py:371-383) are precomputed host-side:
+      t = -log(sigma), t_down = -log(sigma_down), h = t_down - t, s = t + h/2
+      mult1 = sigma(s)/sigma(t); mult2 = expm1(-h/2)
+      mult3 = sigma(t_down)/sigma(t); mult4 = expm1(-h)
+    The final step (sigma_down == 0) degenerates to the plain ancestral Euler
+    step and is peeled off so no second network eval is spent on it
+    (sampling.py:390-392 "Save a network evaluation").
+    """
+
+    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn):
+        sig, nxt, down, up = self._ancestral_tables(sigmas, start_step)
+        n = len(sig)
+        if n == 0:
+            return x
+
+        use_mid = down >= 1e-14
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = _to_neg_log_sigma(sig)
+            t_next = _to_neg_log_sigma(np.where(down > 0, down, 1.0))
+            h = t_next - t
+            s = t + 0.5 * h
+            sig_mid = _to_sigma(s)
+            mult1 = sig_mid / sig
+            mult2 = np.expm1(-0.5 * h)
+            mult3 = np.where(down > 0, down, 0.0) / sig
+            mult4 = np.expm1(-h)
+        for arr in (sig_mid, mult1, mult2, mult3, mult4):
+            np.nan_to_num(arr, copy=False)
+
+        def full_body(x, consts, rng_i):
+            sigma, next_sigma, sigma_down, sigma_up, s_mid, m1, m2, m3, m4 = consts
+            denoised = denoise_fn(x, sigma)
+            x2 = m1 * x - m2 * denoised
+            denoised2 = denoise_fn(x2, s_mid)
+            x = m3 * x - m4 * denoised2
+            return self._ancestral_noise(x, rng_i, next_sigma, sigma_up)
+
+        def euler_body(x, consts, rng_i):
+            sigma, next_sigma, sigma_down, sigma_up = consts
+            denoised = denoise_fn(x, sigma)
+            d = _to_d(x, sigma, denoised)
+            x = x + (sigma_down - sigma) * d
+            return self._ancestral_noise(x, rng_i, next_sigma, sigma_up)
+
+        # main scan: all steps with a midpoint eval
+        m = int(np.sum(use_mid))  # prefix length (zero sigma only at the end)
+        assert bool(np.all(use_mid[:m])) and not bool(np.any(use_mid[m:])), (
+            "non-contiguous zero-sigma steps in schedule"
+        )
+        consts_main = (
+            sig[:m], nxt[:m], down[:m], up[:m],
+            sig_mid[:m], mult1[:m], mult2[:m], mult3[:m], mult4[:m],
+        )
+        x, rng = _scan_steps(full_body, x, rng, consts_main, pre_fn, sig[:m])
+
+        # epilogue: degenerate steps (sigma_down == 0) use the euler-only path
+        for i in range(m, n):
+            rng, k_pre, k_step = jax.random.split(rng, 3)
+            if pre_fn is not None:
+                x = pre_fn(x, _bcast(sig[i], x), k_pre)
+            x = euler_body(
+                x,
+                (_bcast(sig[i], x), _bcast(nxt[i], x), _bcast(down[i], x), _bcast(up[i], x)),
+                k_step,
+            )
+        return x
+
+
+# ---------------------------------------------------------------------------
+# DPM++ 2M (multistep, 1 eval/step)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DPMPP2MSampler(BaseSampler):
+    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn):
+        idx = np.arange(start_step, len(sigmas) - 1)
+        sig, nxt = sigmas[idx], sigmas[idx + 1]
+        prev = np.concatenate([[np.nan], sig[:-1]])
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = _to_neg_log_sigma(sig)
+            t_next = _to_neg_log_sigma(np.where(nxt > 0, nxt, 1.0))
+            h = t_next - t
+            h_last = t - _to_neg_log_sigma(prev)
+            r = h_last / h
+            mult1 = np.where(nxt > 0, nxt, 0.0) / sig
+            mult2 = np.expm1(-h)
+            mult3 = 1.0 + 1.0 / (2.0 * r)
+            mult4 = 1.0 / (2.0 * r)
+        # advanced (2nd-order) update applies when not first step and nxt>0
+        use_adv = np.ones_like(sig, dtype=bool)
+        use_adv[0] = False
+        use_adv &= nxt > 1e-14
+        mult3 = np.nan_to_num(mult3)
+        mult4 = np.nan_to_num(mult4)
+        # mult1/mult2 with nxt==0: mult1=0, mult2=expm1(-inf)=-1
+        mult1 = np.nan_to_num(mult1)
+        mult2 = np.where(nxt > 0, mult2, -1.0)
+
+        consts = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype=jnp.float32),
+            (sig, nxt, mult1, mult2, mult3, mult4, use_adv.astype(np.float32)),
+        )
+
+        def scan_body(carry, per_step):
+            x, old_denoised, rng = carry
+            (sigma, next_sigma, m1, m2, m3, m4, adv), sig_i = per_step
+            rng, k_pre = jax.random.split(rng)
+            if pre_fn is not None:
+                x = pre_fn(x, sig_i, k_pre)
+            denoised = denoise_fn(x, sigma)
+            x_standard = m1 * x - m2 * denoised
+            denoised_d = m3 * denoised - m4 * old_denoised
+            x_advanced = m1 * x - m2 * denoised_d
+            x = jnp.where(adv > 0, x_advanced, x_standard)
+            return (x, denoised, rng), None
+
+        sig_dev = jnp.asarray(sig, dtype=jnp.float32)
+        (x, _, rng), _ = jax.lax.scan(
+            scan_body, (x, jnp.zeros_like(x), rng), (consts, sig_dev)
+        )
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Linear multistep (LMS)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class LinearMultistepSampler(BaseSampler):
+    order: int = 4
+
+    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn):
+        idx = np.arange(start_step, len(sigmas) - 1)
+        sig = sigmas[idx]
+        n = len(sig)
+        # per-step Adams-Bashforth coefficients, zero-padded to `order`;
+        # coeffs[i, j] multiplies d from step i-j (reference iterates
+        # reversed(ds) with ds capped at `order` — sampling.py:313-327)
+        coeffs = np.zeros((n, self.order))
+        for i_rel, i_abs in enumerate(idx):
+            cur_order = min(i_rel + 1, self.order)
+            for j in range(cur_order):
+                coeffs[i_rel, j] = linear_multistep_coeff(cur_order, sigmas, i_abs, j)
+
+        consts = (
+            jnp.asarray(sig, dtype=jnp.float32),
+            jnp.asarray(coeffs, dtype=jnp.float32),
+        )
+
+        def scan_body(carry, per_step):
+            x, ds_buf, rng = carry  # ds_buf: (order, *x.shape), ds_buf[0] = newest
+            sigma, cf = per_step
+            rng, k_pre = jax.random.split(rng)
+            if pre_fn is not None:
+                x = pre_fn(x, sigma, k_pre)
+            denoised = denoise_fn(x, sigma)
+            d = _to_d(x, sigma, denoised)
+            ds_buf = jnp.concatenate([d[None], ds_buf[:-1]], axis=0)
+            x = x + jnp.tensordot(cf, ds_buf, axes=1)
+            return (x, ds_buf, rng), None
+
+        ds0 = jnp.zeros((self.order,) + x.shape, dtype=x.dtype)
+        (x, _, rng), _ = jax.lax.scan(scan_body, (x, ds0, rng), consts)
+        return x
+
+
+# ---------------------------------------------------------------------------
+
+_SAMPLERS = {
+    "euler": EulerEDMSampler,
+    "heun": HeunEDMSampler,
+    "euler_ancestral": EulerAncestralSampler,
+    "dpmpp_2s_ancestral": DPMPP2SAncestralSampler,
+    "dpmpp_2m": DPMPP2MSampler,
+    "lms": LinearMultistepSampler,
+}
+
+
+def make_sampler(name: str, **kwargs) -> BaseSampler:
+    return _SAMPLERS[name](**kwargs)

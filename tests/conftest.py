@@ -1,0 +1,24 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax initializes.
+
+This gives every test deterministic CPU execution plus the ability to exercise
+multi-chip sharding (something the PyTorch reference cannot test at all —
+SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return jax.random.PRNGKey(0)
