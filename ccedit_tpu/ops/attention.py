@@ -1,0 +1,71 @@
+"""Scaled-dot-product attention with a single TPU dispatch point.
+
+Replaces the reference's CUDA attention zoo (xformers / torch SDPA /
+flash_attn selection, sgm/modules/attention.py:13-74,365-595) with one
+function.  On TPU with large token counts the Pallas flash-attention kernel
+(jax.experimental.pallas.ops.tpu.flash_attention) avoids materializing the
+(N x N) score matrix in HBM — the dominant memory cost of the spatial
+self-attention at 512x768/f8 (6144 tokens).  Everywhere else XLA's fused
+softmax-attention is already near-optimal; we route through one entry point so
+the policy lives in one place.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _is_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_fn():
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    return fa
+
+
+def _xla_attention(q, k, v, scale):
+    # q,k,v: (B, H, N, D) — fp32 softmax accumulation regardless of input dtype
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def _flash_ok(q, k) -> bool:
+    """Conservative gate for the Pallas kernel: big token counts, TPU backend,
+    block-friendly lengths. Small sequences (temporal T=17, text L=77) stay on
+    the XLA path where the kernel's block minimums would force heavy padding."""
+    if not _is_tpu():
+        return False
+    n_q, n_k = q.shape[-2], k.shape[-2]
+    return n_q >= 512 and n_k >= 512 and n_q % 128 == 0 and n_k % 128 == 0
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    force_xla: bool = False,
+) -> jnp.ndarray:
+    """Multi-head SDPA over (B, H, N, D) tensors.
+
+    scale defaults to D**-0.5 (the reference's CrossAttention scale,
+    attention.py:390).
+    """
+    if scale is None:
+        scale = float(np.asarray(q.shape[-1], dtype=np.float64) ** -0.5)
+    if not force_xla and _flash_ok(q, k):
+        fa = _flash_fn()
+        return fa.flash_attention(q, k, v, causal=False, sm_scale=scale)
+    return _xla_attention(q, k, v, scale)

@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# single-core container: persistent compile cache is a 10x on warm test runs
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cc")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
 import pytest  # noqa: E402
 
