@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Headline benchmark: the BASELINE.md TV2V workload on real hardware.
+
+Workload (README.md:56-57 of the reference): edit a 17-keyframe 512x768 clip,
+30 DPM++ 2S Ancestral steps, CFG 7.5 (batch-doubled), SD-1.5-scale UNet +
+ControlNet — ~120 UNet+ControlNet evaluations per clip plus VAE decode, all
+compiled into one XLA program.
+
+Prints ONE JSON line:
+  {"metric": "clip_edit_latency", "value": <s>, "unit": "s",
+   "vs_baseline": <baseline_s / value>}
+
+Baseline: the project target of 10 s per clip (BASELINE.md; the reference
+itself publishes no numbers).  Weights are random — latency is architecture-
+and compiler-bound, not weight-bound.
+
+Env knobs: BENCH_FRAMES/BENCH_H/BENCH_W/BENCH_STEPS to scale down; BENCH_FP32=1.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_cc"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from ccedit_tpu.diffusion import (
+    DiscreteDenoiser,
+    LegacyDDPMDiscretization,
+    VanillaCFG,
+    make_sampler,
+)
+from ccedit_tpu.modules.controlnet import CCEditNetwork, ControlNet2D
+from ccedit_tpu.modules.unet import UNetModel
+from ccedit_tpu.modules.vae import AutoencoderKL
+
+
+def main():
+    T = int(os.environ.get("BENCH_FRAMES", 17))
+    H = int(os.environ.get("BENCH_H", 512))
+    W = int(os.environ.get("BENCH_W", 768))
+    steps = int(os.environ.get("BENCH_STEPS", 30))
+    dtype = jnp.float32 if os.environ.get("BENCH_FP32") else jnp.bfloat16
+    baseline_s = 10.0
+
+    sd15 = dict(
+        in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
+        attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4), num_heads=8,
+        transformer_depth=1, context_dim=768, dtype=dtype,
+    )
+    unet = UNetModel(unet_type="pseudo-3d", disable_temporal_text_ca=True, **sd15)
+    cn_kw = dict(sd15)
+    cn = ControlNet2D(hint_channels=3, **cn_kw)
+    net = CCEditNetwork(unet=unet, controlnet=cn)
+    vae = AutoencoderKL(dtype=dtype)
+
+    h8, w8 = H // 8, W // 8
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, T, h8, w8, 4), dtype=jnp.float32)
+    tt = jnp.array([500.0])
+    cond = {
+        "crossattn": jnp.zeros((1, 77, 768), dtype=dtype),
+        "control_hint": jnp.zeros((1, T, H, W, 3), dtype=dtype),
+    }
+    t0 = time.time()
+    params = jax.jit(net.init)(rng, x, tt, cond)
+    vae_params = jax.jit(
+        lambda k, z: vae.init(k, z, method=AutoencoderKL.decode)
+    )(rng, x[:, 0])
+    init_s = time.time() - t0
+    n_params = sum(v.size for v in jax.tree_util.tree_leaves(params))
+
+    den = DiscreteDenoiser(scaling="eps", weighting="eps")
+    guider = VanillaCFG(scale=7.5)
+    uc = {**cond, "crossattn": jnp.ones_like(cond["crossattn"])}
+    cond_cat = guider.prepare_cond(cond, uc)
+    sampler = make_sampler(
+        "dpmpp_2s_ancestral",
+        discretization=LegacyDDPMDiscretization(),
+        num_steps=steps,
+    )
+
+    def denoise_fn(xx, sigma):
+        sv = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (xx.shape[0],))
+        x2, s2 = guider.expand(xx, sv)
+        out = den(
+            lambda a, b, c: net.apply(params, a.astype(dtype), b, c).astype(jnp.float32),
+            x2, s2, cond_cat,
+        )
+        return guider.combine(out, sv)
+
+    @jax.jit
+    def edit_clip(x0, key):
+        latents = sampler(denoise_fn, x0, key)
+        frames = vae.apply(vae_params, latents / 0.18215, method=AutoencoderKL.decode)
+        return frames
+
+    x0 = jax.random.normal(jax.random.PRNGKey(1), x.shape, dtype=jnp.float32)
+    t0 = time.time()
+    out = jax.block_until_ready(edit_clip(x0, jax.random.PRNGKey(2)))
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        out = jax.block_until_ready(edit_clip(x0, jax.random.PRNGKey(3 + i)))
+        times.append(time.time() - t0)
+    latency = min(times)
+
+    print(
+        json.dumps(
+            {
+                "metric": "clip_edit_latency",
+                "value": round(latency, 3),
+                "unit": "s",
+                "vs_baseline": round(baseline_s / latency, 3),
+                "detail": {
+                    "workload": f"{T}f {H}x{W} {steps} steps DPM++2S CFG7.5 + VAE decode",
+                    "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
+                    "device": str(jax.devices()[0]),
+                    "params": n_params,
+                    "frames_per_s_per_chip": round(T / latency, 3),
+                    "compile_s": round(compile_s, 1),
+                    "init_s": round(init_s, 1),
+                    "all_runs_s": [round(t, 3) for t in times],
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Structure-hint annotators (depth / lineart / edge / normal / pose).
+
+Reference behavior (sgm/modules/encoders/modules.py):
+  * DepthMidasEncoder (:1346-1392): MiDaS dpt_hybrid depth per frame, global
+    min-max normalize, clamp, ->[-1,1], NEGATE, repeat to 3 channels.
+  * DepthZoeEncoder (:1289-1342): ZoeDepth metric depth, per-sample 2%/85%
+    kth-value normalization, ->[-1,1], repeat to 3 channels (no negation).
+  * LineartEncoder 'standard' mode (:1213-1274): weight-free cv2 pipeline
+    (implemented exactly in lineart.py).
+
+Design: an annotator = backbone (a flax depth/edge model with converted
+weights) + the exact reference post-processing.  When no backbone weights are
+available the ``gradient`` stub produces a deterministic luminance/gradient
+pseudo-hint so pipelines run end-to-end — clearly NOT MiDaS; swap in real
+weights via ``backbone_params`` for production.
+
+Input/output layout: (B, T, H, W, 3) in [-1, 1] (video, channels-last).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..embedders import Embedder
+
+
+def _luma(x):
+    # x in [-1,1], (N,H,W,3) -> (N,H,W,1) luminance in [0,1]
+    w = jnp.asarray([0.299, 0.587, 0.114], dtype=x.dtype)
+    return ((x + 1.0) * 0.5 * w).sum(-1, keepdims=True)
+
+
+def gradient_pseudo_depth(x):
+    """Deterministic stand-in backbone: smoothed inverse luminance.  Serves
+    as a placeholder 'relative depth' until real MiDaS/Zoe weights are
+    converted; same ranges/shape contract as the real backbones."""
+    y = _luma(x)
+    k = jnp.ones((5, 5, 1, 1), dtype=x.dtype) / 25.0
+    y = jax.lax.conv_general_dilated(
+        y, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return 1.0 - y[..., 0]  # (N,H,W) higher = closer
+
+
+def midas_postprocess(depth):
+    """min-max -> clamp -> [-1,1] -> negate -> 3ch (modules.py:1367-1383)."""
+    depth = depth - jnp.min(depth)
+    depth = depth / jnp.maximum(jnp.max(depth), 1e-8)
+    depth = jnp.clip(depth, 0.0, 1.0) * 2.0 - 1.0
+    depth = -depth
+    return jnp.repeat(depth[..., None], 3, axis=-1)
+
+
+def zoe_postprocess(depth_bt, batch: int):
+    """Per-sample 2%/85% kth-value normalization (modules.py:1316-1331).
+    depth_bt: (B*T, H, W)."""
+    bt, h, w = depth_bt.shape
+    t = bt // batch
+    d = depth_bt.reshape(batch, t, h, w)
+    flat = d.reshape(batch, -1)
+    n = flat.shape[1]
+    k_lo = max(int(0.02 * n), 1)
+    k_hi = max(int(0.85 * n), 1)
+    svals = jnp.sort(flat, axis=1)
+    vmin = svals[:, k_lo - 1]
+    vmax = svals[:, k_hi - 1]
+    d = (d - vmin[:, None, None, None]) / (vmax - vmin)[:, None, None, None]
+    d = jnp.clip(d, 0.0, 1.0) * 2.0 - 1.0
+    d = d.reshape(bt, h, w)
+    return jnp.repeat(d[..., None], 3, axis=-1)
+
+
+class AnnotatorEmbedder(Embedder):
+    """Generic annotator: fold video -> per-frame backbone -> postprocess."""
+
+    def __init__(
+        self,
+        kind: str,
+        backbone: Optional[Callable] = None,
+        backbone_params: Any = None,
+    ):
+        self.kind = kind
+        self.backbone = backbone
+        self.backbone_params = backbone_params
+
+    def init_params(self, rng, prepared):
+        return None  # frozen; real backbone params are loaded, not initialized
+
+    def embed(self, params, prepared):
+        x = jnp.asarray(prepared)  # (B,T,H,W,3) in [-1,1]
+        b, t = x.shape[0], x.shape[1]
+        frames = x.reshape((b * t,) + x.shape[2:])
+
+        if self.kind == "depth_midas":
+            depth = self._run_backbone(frames)
+            out = midas_postprocess(depth)
+        elif self.kind == "depth_zoe":
+            depth = self._run_backbone((frames + 1.0) * 0.5)
+            out = zoe_postprocess(depth, b)
+        elif self.kind == "lineart_standard":
+            from .lineart import lineart_standard_jnp
+
+            out = lineart_standard_jnp(frames)
+        else:
+            raise NotImplementedError(
+                f"annotator {self.kind!r}: backbone not yet implemented on TPU; "
+                "precompute hints host-side and use an IdentityEncoder, or "
+                "provide converted weights"
+            )
+        return out.reshape((b, t) + out.shape[1:])
+
+    def _run_backbone(self, frames):
+        if self.backbone is None:
+            return gradient_pseudo_depth(frames)
+        return self.backbone(self.backbone_params, frames)
+
+
+_KIND_MAP = {
+    "DepthMidasEncoder": "depth_midas",
+    "DepthZoeEncoder": "depth_zoe",
+    "LineartEncoder": "lineart_standard",
+    "SoftEdgeEncoder": "softedge_pidinet",
+    "NormalBaeEncoder": "normal_bae",
+    "ScribbleHEDEncoder": "scribble_hed",
+    "ScribblePidiNetEncoder": "scribble_pidinet",
+    "OpenposeEncoder": "openpose",
+}
+
+
+def build_annotator(target_name: str, params: Dict) -> AnnotatorEmbedder:
+    kind = _KIND_MAP[target_name]
+    if target_name == "LineartEncoder" and not params.get("lineart_standard", True):
+        kind = "lineart_model"
+    return AnnotatorEmbedder(kind)

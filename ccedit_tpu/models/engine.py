@@ -1,0 +1,259 @@
+"""CCEditEngine — the assembly of network, diffusion math, conditioner, VAE.
+
+Behavioural parity targets (studied, not copied):
+  * DiffusionEngine / VideoDiffusionEngine / VideoDiffusionEngineTV2V
+    — sgm/models/diffusion.py:47-859 (shared_step, sample, encode/decode
+      first stage, freeze policies, EMA hooks)
+  * first-stage scale_factor 0.18215 — diffusion.py:158-163
+
+TPU-first structure: the engine is a plain Python object holding *pure module
+definitions*; all state (params, optimizer, EMA) lives in explicit pytrees.
+Sampling compiles to ONE XLA program: conditioning embed -> CFG concat (once)
+-> lax.scan over the sigma schedule -> VAE decode (reference: ~120 eager
+dispatches per clip, SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..conditioning.conditioner import Conditioner
+from ..diffusion.denoiser import Denoiser
+from ..diffusion.guidance import IdentityGuider, VanillaCFG
+from ..diffusion.loss import StandardDiffusionLoss
+from ..diffusion.samplers import BaseSampler
+from ..modules.controlnet import CCEditNetwork
+from ..modules.vae import AutoencoderKL, DiagonalGaussian
+from ..train.ema import EmaState
+from ..train.freeze import freeze_mask
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    ema: Optional[EmaState] = None
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.opt_state, s.step, s.ema), None),
+    lambda aux, c: TrainState(*c),
+)
+
+
+class CCEditEngine:
+    def __init__(
+        self,
+        network: CCEditNetwork,
+        denoiser: Denoiser,
+        sampler: BaseSampler,
+        conditioner: Conditioner,
+        vae: Optional[AutoencoderKL] = None,
+        loss_fn: Optional[StandardDiffusionLoss] = None,
+        guider=None,
+        scale_factor: float = 0.18215,
+        input_key: str = "jpg",
+        freeze_policy: str = "none",
+        use_ema: bool = False,
+        ema_decay: float = 0.9999,
+    ):
+        self.network = network
+        self.denoiser = denoiser
+        self.sampler = sampler
+        self.conditioner = conditioner
+        self.vae = vae
+        self.loss_fn = loss_fn
+        self.guider = guider if guider is not None else VanillaCFG(scale=7.5)
+        self.scale_factor = scale_factor
+        self.input_key = input_key
+        self.freeze_policy = freeze_policy
+        self.use_ema = use_ema
+        self.ema_decay = ema_decay
+
+    # ------------------------------------------------------------------
+    # init
+    # ------------------------------------------------------------------
+    def init_params(self, rng: jax.Array, example_batch: Dict) -> Dict:
+        """Build the full param tree from an example batch (shapes only)."""
+        k_net, k_vae, k_cond, k_x = jax.random.split(rng, 4)
+        params: Dict[str, Any] = {}
+
+        prepared = self.conditioner.prepare(example_batch)
+        params["conditioner"] = self.conditioner.init_params(k_cond, example_batch)
+
+        if self.input_key in example_batch:
+            x = jnp.asarray(example_batch[self.input_key])
+        else:
+            # inference batches carry no clean video; derive the pixel shape
+            # from the control hint (same H,W as the clip)
+            hint = jnp.asarray(example_batch["control_hint"])
+            x = jnp.zeros(hint.shape[:-1] + (3,), dtype=jnp.float32)
+        if self.vae is not None:
+            # full __call__ so both encoder and decoder params are created
+            params["vae"] = self.vae.init(k_vae, x, None, False)["params"]
+            self._wire_vae_embedders(params["vae"])
+            z = self.encode_first_stage(params, x)
+        else:
+            z = x
+
+        cond = self.conditioner.embed(params["conditioner"], prepared)
+        cond = self._cond_to_latent(params, cond)
+        t = jnp.zeros((z.shape[0],), dtype=jnp.float32)
+        params["network"] = self.network.init(k_net, z, t, cond)["params"]
+        return params
+
+    def _wire_vae_embedders(self, vae_params):
+        """Give VAEEmbedder instances access to the shared first stage
+        (diffusion.py:375-385)."""
+        from ..conditioning.embedders import VAEEmbedder
+
+        def vae_encode_mode(x):
+            moments = self.vae.apply(
+                {"params": vae_params}, x, method=AutoencoderKL.encode_moments
+            )
+            return DiagonalGaussian(moments).mode() * self.scale_factor
+
+        for spec in self.conditioner.specs:
+            if isinstance(spec.embedder, VAEEmbedder):
+                spec.embedder.vae_apply = vae_encode_mode
+
+    def _cond_to_latent(self, params, cond: Dict) -> Dict:
+        """Apply any cond post-processing that needs engine-owned modules."""
+        return cond
+
+    # ------------------------------------------------------------------
+    # first stage
+    # ------------------------------------------------------------------
+    def encode_first_stage(
+        self, params, x, rng: Optional[jax.Array] = None
+    ) -> jnp.ndarray:
+        """pixels in [-1,1] -> scaled latents (diffusion.py:158-163).
+        Deterministic (posterior mode) unless rng is given."""
+        moments = self.vae.apply(
+            {"params": params["vae"]}, x, method=AutoencoderKL.encode_moments
+        )
+        post = DiagonalGaussian(moments)
+        z = post.sample(rng) if rng is not None else post.mode()
+        return z * self.scale_factor
+
+    def decode_first_stage(self, params, z) -> jnp.ndarray:
+        return self.vae.apply(
+            {"params": params["vae"]}, z / self.scale_factor,
+            method=AutoencoderKL.decode,
+        )
+
+    # ------------------------------------------------------------------
+    # sampling
+    # ------------------------------------------------------------------
+    def _network_fn(self, net_params) -> Callable:
+        def fn(x, c_noise, cond):
+            return self.network.apply({"params": net_params}, x, c_noise, cond)
+
+        return fn
+
+    def make_denoise_fn(self, params, cond: Dict, uc: Optional[Dict]) -> Callable:
+        """Returns denoise_fn(x, sigma_scalar) with CFG folded in; the
+        conditioning concat happens once, outside the sampling scan."""
+        guider = self.guider if uc is not None else IdentityGuider()
+        cond_cat = guider.prepare_cond(cond, uc)
+        net = self._network_fn(params["network"])
+
+        def denoise_fn(x, sigma):
+            sigma_vec = jnp.broadcast_to(
+                jnp.asarray(sigma, dtype=jnp.float32), (x.shape[0],)
+            )
+            x2, s2 = guider.expand(x, sigma_vec)
+            out = self.denoiser(net, x2, s2, cond_cat)
+            return guider.combine(out, sigma_vec)
+
+        return denoise_fn
+
+    def sample(
+        self,
+        params,
+        cond: Dict,
+        uc: Optional[Dict],
+        shape: Sequence[int],
+        rng: jax.Array,
+        num_steps: Optional[int] = None,
+        x_prior: Optional[jnp.ndarray] = None,
+        prior_coefficient: float = 0.0,
+        mode: str = "full",          # full | sdedit
+        sdedit_steps: int = 0,
+    ) -> jnp.ndarray:
+        """Draw latents.  x_prior mixing follows sampling_tv2v.py:371-376:
+        randn = (1-c)*randn + c*z_prior."""
+        k_init, k_loop = jax.random.split(rng)
+        x = jax.random.normal(k_init, tuple(shape), dtype=jnp.float32)
+        if x_prior is not None and prior_coefficient > 0:
+            x = (1.0 - prior_coefficient) * x + prior_coefficient * x_prior
+        denoise_fn = self.make_denoise_fn(params, cond, uc)
+        if mode == "sdedit":
+            return self.sampler.sdedit(sdedit_steps, denoise_fn, x, k_loop, num_steps)
+        return self.sampler(denoise_fn, x, k_loop, num_steps=num_steps)
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+    def make_optimizer(self, learning_rate, params) -> optax.GradientTransformation:
+        mask = freeze_mask(params["network"], self.freeze_policy)
+        full_mask = {
+            "network": mask,
+            "conditioner": jax.tree_util.tree_map(lambda _: False, params.get("conditioner", {})),
+            "vae": jax.tree_util.tree_map(lambda _: False, params.get("vae", {})),
+        }
+        full_mask = {k: v for k, v in full_mask.items() if k in params}
+        labels = jax.tree_util.tree_map(
+            lambda trainable: "train" if trainable else "freeze", full_mask
+        )
+        return optax.multi_transform(
+            {
+                "train": optax.adamw(learning_rate=learning_rate, weight_decay=1e-2),
+                "freeze": optax.set_to_zero(),
+            },
+            labels,
+        )
+
+    def create_train_state(self, params, tx) -> TrainState:
+        state = TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            step=jnp.asarray(0, dtype=jnp.int32),
+            ema=EmaState.create(params["network"], self.ema_decay) if self.use_ema else None,
+        )
+        return state
+
+    def loss(self, params, prepared_batch: Dict, rng: jax.Array) -> jnp.ndarray:
+        k_cond, k_vae, k_loss = jax.random.split(rng, 3)
+        cond = self.conditioner.embed(
+            params["conditioner"], prepared_batch, rng=k_cond, apply_ucg=True
+        )
+        x = jnp.asarray(prepared_batch[self.input_key])
+        z = self.encode_first_stage(params, x, rng=k_vae) if self.vae is not None else x
+        net = self._network_fn(params["network"])
+        losses = self.loss_fn(k_loss, net, self.denoiser, cond, z)
+        return jnp.mean(losses)
+
+    def make_train_step(self, tx) -> Callable:
+        def train_step(state: TrainState, prepared_batch: Dict, rng: jax.Array):
+            def loss_fn(params):
+                return self.loss(params, prepared_batch, rng)
+
+            loss_val, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = state.ema.update(params["network"]) if state.ema is not None else None
+            return (
+                TrainState(params, opt_state, state.step + 1, ema),
+                {"loss": loss_val},
+            )
+
+        return train_step

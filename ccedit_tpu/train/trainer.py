@@ -1,0 +1,181 @@
+"""Training loop: mesh-sharded data parallelism + checkpoints + logging.
+
+Behavioural parity targets (main.py, SURVEY.md §2.1):
+  * LR scaling lr = accum * n_dev * bs * base_lr, capped at 1e-4 (:949-957)
+  * grad accumulation (:943-948) — via optax.MultiSteps
+  * ModelCheckpoint every N steps + resume from max-step ckpt (:791-812,
+    :636-645) — via orbax
+  * CSV metrics logging (:744-787)
+  * crash save 'last' (melk, :1016-1022)
+
+TPU-first: ONE jitted train step with the batch sharded over the mesh's data
+axis and params replicated; XLA emits the gradient all-reduce over ICI (no
+DDP/NCCL analog, SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.engine import CCEditEngine, TrainState
+from ..parallel.mesh import MeshPlan, make_mesh
+
+
+def scale_learning_rate(base_lr: float, accumulate: int, n_devices: int,
+                        batch_size: int, cap: float = 1e-4) -> float:
+    """main.py:949-957."""
+    return min(accumulate * n_devices * batch_size * base_lr, cap)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    logdir: str = "logs/run"
+    max_steps: int = 1000
+    ckpt_every: int = 500
+    log_every: int = 10
+    accumulate_grad_batches: int = 1
+    base_lr: float = 1e-4
+    scale_lr: bool = True
+    lr_cap: float = 1e-4
+    seed: int = 42
+    keep_ckpts: int = 3
+
+
+class Trainer:
+    def __init__(self, engine: CCEditEngine, cfg: TrainerConfig,
+                 plan: Optional[MeshPlan] = None,
+                 lr_schedule=None):
+        self.engine = engine
+        self.cfg = cfg
+        self.plan = plan if plan is not None else make_mesh()
+        self.lr_schedule = lr_schedule
+        self.logdir = Path(cfg.logdir)
+        self.logdir.mkdir(parents=True, exist_ok=True)
+        self._csv_path = self.logdir / "metrics.csv"
+
+    # -- checkpointing ------------------------------------------------
+    def _ckpt_manager(self):
+        import orbax.checkpoint as ocp
+
+        return ocp.CheckpointManager(
+            (self.logdir / "checkpoints").absolute(),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=self.cfg.keep_ckpts, create=True
+            ),
+        )
+
+    def save(self, mngr, state: TrainState):
+        import orbax.checkpoint as ocp
+
+        mngr.save(
+            int(state.step),
+            args=ocp.args.PyTreeSave({"params": state.params,
+                                      "opt_state": state.opt_state,
+                                      "step": state.step}),
+        )
+
+    def try_restore(self, mngr, state: TrainState) -> TrainState:
+        latest = mngr.latest_step()
+        if latest is None:
+            return state
+        import orbax.checkpoint as ocp
+
+        restored = mngr.restore(
+            latest,
+            args=ocp.args.PyTreeRestore(
+                {"params": state.params, "opt_state": state.opt_state,
+                 "step": state.step}
+            ),
+        )
+        print(f"[resume] restored step {latest}")
+        return TrainState(restored["params"], restored["opt_state"],
+                          restored["step"], state.ema)
+
+    # -- logging ------------------------------------------------------
+    def _log(self, step: int, metrics: Dict):
+        row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        write_header = not self._csv_path.exists()
+        with open(self._csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row))
+            if write_header:
+                w.writeheader()
+            w.writerow(row)
+
+    # -- main loop ----------------------------------------------------
+    def fit(self, loader, batch_size: int, resume: bool = True):
+        cfg = self.cfg
+        n_dev = self.plan.n_data
+        lr = (
+            scale_learning_rate(cfg.base_lr, cfg.accumulate_grad_batches,
+                                n_dev, batch_size, cfg.lr_cap)
+            if cfg.scale_lr else cfg.base_lr
+        )
+        if self.lr_schedule is not None:
+            sched = self.lr_schedule
+            lr_fn = lambda step: lr * sched(int(step))
+        else:
+            lr_fn = lr
+
+        # one example batch to initialize
+        first = next(iter(loader))
+        prepared = self.engine.conditioner.prepare(first)
+        params = self.engine.init_params(jax.random.PRNGKey(cfg.seed), first)
+        tx = self.engine.make_optimizer(lr_fn, params)
+        if cfg.accumulate_grad_batches > 1:
+            tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
+        state = self.engine.create_train_state(params, tx)
+        mngr = self._ckpt_manager()
+        if resume:
+            state = self.try_restore(mngr, state)
+
+        repl = NamedSharding(self.plan.mesh, P())
+        bshard = lambda nd: NamedSharding(self.plan.mesh, P("data", *([None] * (nd - 1))))
+
+        raw_step = self.engine.make_train_step(tx)
+        step_fn = jax.jit(raw_step, donate_argnums=(0,))
+
+        state = jax.device_put(state, repl)
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        t0 = time.time()
+        step = int(state.step)
+        try:
+            while step < cfg.max_steps:
+                for batch in loader:
+                    if step >= cfg.max_steps:
+                        break
+                    prepared = self.engine.conditioner.prepare(batch)
+                    device_batch = {
+                        k: jax.device_put(np.asarray(v), bshard(np.asarray(v).ndim))
+                        for k, v in prepared.items()
+                        if not isinstance(v, list)
+                    }
+                    rng, k = jax.random.split(rng)
+                    state, metrics = step_fn(state, device_batch, k)
+                    step = int(state.step)
+                    if step % cfg.log_every == 0:
+                        loss = float(metrics["loss"])
+                        dt = time.time() - t0
+                        print(f"step {step}: loss {loss:.4f} ({dt:.1f}s)")
+                        self._log(step, {"loss": loss, "seconds": dt})
+                    if step % cfg.ckpt_every == 0:
+                        self.save(mngr, state)
+        except BaseException:
+            # crash save (melk, main.py:1016-1022)
+            self.save(mngr, state)
+            mngr.wait_until_finished()
+            raise
+        self.save(mngr, state)
+        mngr.wait_until_finished()
+        return state

@@ -7,12 +7,20 @@ SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this image preimports jax at interpreter startup AND its axon TPU
+# plugin overrides JAX_PLATFORMS, so env vars alone don't stick.  XLA_FLAGS is
+# read lazily at backend init; the platform is forced via jax.config below.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platform_name", "cpu")
+
+assert jax.devices()[0].platform == "cpu", (
+    f"tests must run on virtual CPU devices, got {jax.devices()}"
+)
 
 jax.config.update("jax_default_matmul_precision", "highest")
 # single-core container: persistent compile cache is a 10x on warm test runs

@@ -1,0 +1,132 @@
+"""Conditioner routing / ucg / tokenizer / annotator post-processing tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccedit_tpu.conditioning.annotators.base import (
+    midas_postprocess,
+    zoe_postprocess,
+    AnnotatorEmbedder,
+)
+from ccedit_tpu.conditioning.conditioner import Conditioner, EmbedderSpec
+from ccedit_tpu.conditioning.embedders import (
+    ConcatTimestepEmbedderND,
+    IdentityEncoder,
+    InpaintingEncoder,
+)
+from ccedit_tpu.conditioning.tokenizer import BOS, EOS, HashTokenizer
+
+
+class TestConditionerRouting:
+    def test_key_routing_and_concat(self):
+        cond = Conditioner([
+            EmbedderSpec(embedder=IdentityEncoder(), input_key="txt_emb", out_key="crossattn"),
+            EmbedderSpec(embedder=IdentityEncoder(), input_key="more_tokens", out_key="crossattn"),
+            EmbedderSpec(embedder=IdentityEncoder(), input_key="control_hint"),
+            EmbedderSpec(embedder=IdentityEncoder(), input_key="vec"),
+        ])
+        batch = {
+            "txt_emb": jnp.ones((1, 7, 8)),
+            "more_tokens": jnp.ones((1, 7, 4)),
+            "control_hint": jnp.ones((1, 2, 4, 4, 3)),
+            "vec": jnp.ones((1, 6)),
+        }
+        out = cond.embed({}, batch)
+        # reference concatenates crossattn on the feature dim (KEY2CATDIM=2)
+        assert out["crossattn"].shape == (1, 7, 12)
+        assert out["control_hint"].shape == (1, 2, 4, 4, 3)
+        assert out["vector"].shape == (1, 6)  # ndim-2 routing
+
+    def test_ucg_dropout_zeroes_rows(self):
+        spec = EmbedderSpec(embedder=IdentityEncoder(), input_key="x", out_key="crossattn", ucg_rate=1.0)
+        cond = Conditioner([spec])
+        batch = {"x": jnp.ones((4, 3, 2))}
+        out = cond.embed({}, batch, rng=jax.random.PRNGKey(0), apply_ucg=True)
+        np.testing.assert_allclose(np.asarray(out["crossattn"]), 0.0)
+
+    def test_unconditional_pair(self):
+        cond = Conditioner([
+            EmbedderSpec(embedder=IdentityEncoder(), input_key="x", out_key="crossattn", ucg_rate=0.5),
+        ])
+        c, uc = cond.get_unconditional_conditioning(
+            {}, {"x": jnp.ones((2, 3, 2))}, {"x": jnp.zeros((2, 3, 2))}
+        )
+        np.testing.assert_allclose(np.asarray(c["crossattn"]), 1.0)  # no ucg applied
+        np.testing.assert_allclose(np.asarray(uc["crossattn"]), 0.0)
+
+
+class TestTokenizer:
+    def test_hash_tokenizer_shape_and_specials(self):
+        tok = HashTokenizer()
+        out = tok(["hello world", ""])
+        assert out.shape == (2, 77)
+        assert out[0, 0] == BOS and out[0, 3] == EOS
+        assert out[1, 1] == EOS
+
+    def test_clip_bpe_with_synthetic_vocab(self, tmp_path):
+        import json
+
+        from ccedit_tpu.conditioning.tokenizer import ClipTokenizer, bytes_to_unicode
+
+        # build a minimal vocab: all byte tokens + </w> forms + two merges
+        base = list(bytes_to_unicode().values())
+        vocab = {}
+        for v in base:
+            vocab[v] = len(vocab)
+        for v in base:
+            vocab[v + "</w>"] = len(vocab)
+        for extra in ["he", "lo</w>", "llo</w>", "<|startoftext|>", "<|endoftext|>"]:
+            vocab[extra] = len(vocab)
+        (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+        (tmp_path / "merges.txt").write_text("#version\nh e\nl o</w>\nl lo</w>\n")
+        tok = ClipTokenizer(str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
+        ids = tok.encode("hello")
+        # 'hello' -> (h e)->'he', (l o</w>)->'lo</w>', (l lo</w>)->'llo</w>'
+        assert ids == [vocab["he"], vocab["llo</w>"]]
+
+
+class TestAnnotators:
+    def test_midas_postprocess_range_and_negation(self):
+        d = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8))
+        out = midas_postprocess(d)
+        assert out.shape == (2, 8, 8, 3)
+        assert float(out.max()) <= 1.0 and float(out.min()) >= -1.0
+        # nearest point (max depth value) maps to -1 (negated)
+        idx = np.unravel_index(np.argmax(np.asarray(d)), d.shape)
+        assert np.asarray(out)[idx + (0,)] == pytest.approx(-1.0)
+
+    def test_zoe_postprocess_percentiles(self):
+        d = jnp.asarray(np.random.RandomState(1).rand(4, 8, 8).astype(np.float32))
+        out = zoe_postprocess(d, batch=2)
+        assert out.shape == (4, 8, 8, 3)
+        assert float(out.max()) <= 1.0 and float(out.min()) >= -1.0
+
+    def test_gradient_pseudo_depth_annotator_runs(self):
+        ann = AnnotatorEmbedder("depth_midas")
+        x = jnp.asarray(np.random.RandomState(2).rand(1, 2, 16, 16, 3) * 2 - 1)
+        out = ann.embed(None, x)
+        assert out.shape == (1, 2, 16, 16, 3)
+
+    def test_lineart_standard(self):
+        from ccedit_tpu.conditioning.annotators.lineart import lineart_standard_jnp
+
+        x = jnp.asarray(np.random.RandomState(3).rand(2, 32, 32, 3) * 2 - 1)
+        out = lineart_standard_jnp(x)
+        assert out.shape == (2, 32, 32, 3)
+        assert float(out.max()) <= 1.0 and float(out.min()) >= -1.0
+
+
+class TestMiscEmbedders:
+    def test_concat_timestep_embedder(self):
+        e = ConcatTimestepEmbedderND(outdim=8)
+        out = e.embed(None, jnp.asarray([[1.0, 2.0], [3.0, 4.0]]))
+        assert out.shape == (2, 16)
+
+    def test_inpainting_mask_blackens_region(self):
+        e = InpaintingEncoder(seed=0)
+        x = np.ones((1, 2, 16, 16, 3), dtype=np.float32)
+        masked = e.prepare(x)
+        assert masked.min() == -1.0  # some region blacked out
+        assert (masked == 1.0).any()  # some region kept

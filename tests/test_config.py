@@ -1,0 +1,72 @@
+"""Config-compat tests: the shipped reference YAMLs must build engines
+(BASELINE.json: 'Match the sampling_tv2v.py ... YAML config interface')."""
+
+import jax.numpy as jnp
+import pytest
+
+from ccedit_tpu.config import (
+    apply_dotlist,
+    build_denoiser,
+    build_engine,
+    build_sampler,
+    load_config,
+)
+
+TV2V_YAML = "/root/reference/configs/inference_ccedit/keyframe_no2ndca_depthmidas.yaml"
+TVI2V_YAML = "/root/reference/configs/inference_ccedit/keyframe_ref_cp_no2ndca_add_cfca_depthzoe.yaml"
+
+
+class TestYamlCompat:
+    def test_load_and_merge_dotlist(self, tmp_path):
+        p = tmp_path / "a.yaml"
+        p.write_text("model:\n  params:\n    scale_factor: 0.5\n")
+        cfg = load_config([str(p)], ["model.params.scale_factor=0.25", "x.y=3"])
+        assert cfg["model"]["params"]["scale_factor"] == 0.25
+        assert cfg["x"]["y"] == 3
+
+    def test_build_tv2v_engine_from_reference_yaml(self):
+        cfg = load_config(TV2V_YAML)
+        engine = build_engine(cfg)
+        net = engine.network
+        assert net.unet.is_video
+        assert net.unet.model_channels == 320
+        assert net.controlnet is not None and net.controlnet.hint_channels == 3
+        assert net.controlnet_img is None
+        assert engine.scale_factor == 0.18215
+        assert engine.freeze_policy == "spatial_tv2v"
+        # denoiser quantizes over the 1000-entry legacy table
+        assert engine.denoiser.sigmas.shape == (1000,)
+
+    def test_build_tvi2v_engine_from_reference_yaml(self):
+        cfg = load_config(TVI2V_YAML)
+        engine = build_engine(cfg)
+        net = engine.network
+        assert net.unet.enable_attention3d_crossframe
+        assert net.unet.st3dca_ca_type == "center_self"
+        assert net.controlnet_img is not None
+        assert net.controlnet_img.no_add_x
+        assert net.controlnet_img.input_hint_identity
+        assert net.controlnet_img.disable_text_ca
+        # conditioner: CLIP text + zoe depth + VAE reference embedder
+        keys = [s.input_key for s in engine.conditioner.specs]
+        assert keys == ["txt", "control_hint", "cond_img"]
+
+    def test_sampler_and_denoiser_builders(self):
+        den = build_denoiser({
+            "target": "x.DiscreteDenoiser",
+            "params": {
+                "num_idx": 1000,
+                "scaling_config": {"target": "x.EpsScaling"},
+                "weighting_config": {"target": "x.EpsWeighting"},
+                "discretization_config": {"target": "x.LegacyDDPMDiscretization"},
+            },
+        })
+        assert den.sigmas.shape == (1000,)
+        s = build_sampler({
+            "target": "x.DPMPP2SAncestralSampler",
+            "params": {
+                "num_steps": 10,
+                "discretization_config": {"target": "x.LegacyDDPMDiscretization"},
+            },
+        })
+        assert len(s.get_sigmas()) == 11

@@ -1,0 +1,84 @@
+"""Data layer tests: frame selection, datasets, loader, video IO round trip."""
+
+import numpy as np
+import pytest
+
+from ccedit_tpu.data.dataset import (
+    DataLoader,
+    SyntheticVideoDataset,
+    collate,
+    proportional_frame_indices,
+    resize_center_crop,
+)
+from ccedit_tpu.data.video import (
+    load_video_keyframes,
+    save_video_frames,
+    select_keyframe_indices,
+    to_uint8,
+)
+
+BEAR = "/root/reference/assets/Samples/davis/bear"
+
+
+class TestFrameSelection:
+    def test_strided_selection(self):
+        idx = select_keyframe_indices(100, origin_fps=18, target_fps=6, num_keyframes=8)
+        np.testing.assert_array_equal(idx, np.arange(0, 24, 3))
+
+    def test_linspace_fallback_when_short(self):
+        idx = select_keyframe_indices(10, origin_fps=30, target_fps=3, num_keyframes=8)
+        assert len(idx) == 8 and idx[0] == 0 and idx[-1] == 9
+
+    def test_proportional_training_indices(self):
+        rng = np.random.default_rng(0)
+        idx = proportional_frame_indices(100, fps=30, num_frames=8, prop_factor=6, rng=rng)
+        assert len(idx) == 8
+        assert np.all(np.diff(idx) == 5)
+
+
+class TestVideoIO:
+    def test_load_bear_frame_dir(self):
+        frames = load_video_keyframes(BEAR, 20, 6, 8, (64, 64))
+        assert frames.shape == (8, 64, 64, 3)
+        assert frames.min() >= -1.0 and frames.max() <= 1.0
+
+    def test_gif_roundtrip(self, tmp_path):
+        clip = np.random.RandomState(0).rand(4, 16, 16, 3).astype(np.float32) * 2 - 1
+        out = tmp_path / "clip.gif"
+        save_video_frames(clip, str(out), fps=4)
+        assert out.exists() and out.stat().st_size > 0
+        back = load_video_keyframes(str(out), 4, 4, 4, (16, 16))
+        assert back.shape == (4, 16, 16, 3)
+
+    def test_resize_center_crop(self):
+        frame = np.zeros((100, 200, 3), dtype=np.uint8)
+        out = resize_center_crop(frame, (64, 64))
+        assert out.shape == (64, 64, 3)
+
+
+class TestDatasets:
+    def test_synthetic_dataset_batch_keys(self):
+        ds = SyntheticVideoDataset(n_items=4, num_frames=5, size_hw=(32, 32))
+        s = ds[0]
+        assert s["jpg"].shape == (5, 32, 32, 3)
+        assert s["cond_img"].shape == (32, 32, 3)
+        assert s["interpolate_first_last"].shape == (2, 32, 32, 3)
+        assert isinstance(s["txt"], str)
+        # deterministic per index
+        np.testing.assert_array_equal(ds[1]["jpg"], ds[1]["jpg"])
+
+    def test_dataloader_batching_and_prefetch(self):
+        ds = SyntheticVideoDataset(n_items=10, num_frames=3, size_hw=(16, 16))
+        dl = DataLoader(ds, batch_size=4, seed=0)
+        batches = list(dl)
+        assert len(batches) == 2  # drop_last
+        assert batches[0]["jpg"].shape == (4, 3, 16, 16, 3)
+        assert len(batches[0]["txt"]) == 4
+
+    def test_collate_strings_and_arrays(self):
+        out = collate([
+            {"a": np.zeros((2,)), "t": "x"},
+            {"a": np.ones((2,)), "t": "y"},
+        ])
+        assert out["a"].shape == (2, 2)
+        assert out["t"] == ["x", "y"]
