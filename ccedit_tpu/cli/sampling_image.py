@@ -1,0 +1,108 @@
+"""2D txt2img / img2img CLI (the sampling_image.py / demo path).
+
+Parity target: scripts/sampling/sampling_image.py + scripts/demo helpers
+(do_sample / do_img2img, streamlit_helpers.py:458-642) run headlessly:
+plain 2D UNet, CFG, k-diffusion samplers, optional img2img strength
+(Img2ImgDiscretizationWrapper).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..config import build_engine, load_config
+from ..data.video import load_image, to_uint8
+from ..diffusion import make_discretization, make_sampler
+from ..diffusion.guidance import VanillaCFG
+from .pipeline import SAMPLER_NAMES, load_params
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--config_path", type=str, required=True)
+    p.add_argument("--ckpt_path", type=str, default="")
+    p.add_argument("--lora_path", type=str, default="")
+    p.add_argument("--lora_strength", type=float, default=0.8)
+    p.add_argument("--vae_path", type=str, default="")
+    p.add_argument("--prompt", type=str, default="a professional photograph")
+    p.add_argument("--negative_prompt", type=str, default="")
+    p.add_argument("--init_image", type=str, default="", help="img2img source")
+    p.add_argument("--img2img_strength", type=float, default=0.75)
+    p.add_argument("--H", type=int, default=512)
+    p.add_argument("--W", type=int, default=512)
+    p.add_argument("--sample_steps", type=int, default=40)
+    p.add_argument("--sampler_name", type=str, default="EulerEDMSampler",
+                   choices=sorted(SAMPLER_NAMES))
+    p.add_argument("--cfg_scale", type=float, default=7.5)
+    p.add_argument("--num_samples", type=int, default=1)
+    p.add_argument("--save_path", type=str, default="outputs/demo/txt2img")
+    p.add_argument("--tokenizer_assets", type=str, default="")
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args()
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    cfg = load_config(args.config_path)
+    engine = build_engine(cfg, asset_dir=args.tokenizer_assets or None,
+                          dtype=dtype, guider_scale=args.cfg_scale)
+    engine.guider = VanillaCFG(scale=args.cfg_scale)
+
+    strength = args.img2img_strength if args.init_image else None
+    engine.sampler = make_sampler(
+        SAMPLER_NAMES[args.sampler_name],
+        discretization=make_discretization(
+            "legacy_ddpm", **({"img2img_strength": strength} if strength else {})
+        ),
+        num_steps=args.sample_steps,
+    )
+
+    batch = {"txt": [args.prompt]}
+    batch_uc = {"txt": [args.negative_prompt]}
+    params = load_params(engine, args, batch)
+    c, uc = engine.conditioner.get_unconditional_conditioning(
+        params["conditioner"], batch, batch_uc
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+    save_dir = Path(args.save_path)
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    z_shape = (1, args.H // 8, args.W // 8, 4)
+    x_prior, prior_coeff, mode, sdedit_steps = None, 0.0, "full", 0
+    if args.init_image:
+        img = load_image(args.init_image, (args.H, args.W))[None]
+        x_prior = engine.encode_first_stage(params, jnp.asarray(img))
+        # img2img: start from noised init at the pruned schedule's top sigma
+        mode = "full"
+        prior_coeff = 1.0  # the pruned discretization handles the strength
+
+    for i in range(args.num_samples):
+        rng, k = jax.random.split(rng)
+        t0 = time.time()
+        if x_prior is not None:
+            sig0 = engine.sampler.get_sigmas()[0]
+            noise = jax.random.normal(k, x_prior.shape)
+            # do_img2img: z + noise*sigma0, then sampler rescales
+            # (streamlit_helpers.py:594-607)
+            latents = engine.sampler(
+                engine.make_denoise_fn(params, c, uc),
+                x_prior + noise * float(sig0) / float(np.sqrt(1 + sig0**2)),
+                k,
+            )
+        else:
+            latents = engine.sample(params, c, uc, z_shape, k)
+        img_out = engine.decode_first_stage(params, latents)
+        out = to_uint8(np.asarray(img_out[0]))
+        Image.fromarray(out).save(save_dir / f"sample_{i:03d}.png")
+        print(f"[done] sample {i}: {time.time() - t0:.1f}s -> {save_dir}/sample_{i:03d}.png")
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,26 @@ class AnnotatorEmbedder(Embedder):
             from .lineart import lineart_standard_jnp
 
             out = lineart_standard_jnp(frames)
+        elif self.kind == "lineart_model":
+            from .lineart_model import LineartGenerator, detect_lineart
+
+            assert self.backbone_params is not None, (
+                "lineart_model needs converted sk_model.pth weights "
+                "(io.torch_convert.load_torch_state_dict + convert_lineart)"
+            )
+            line = detect_lineart(
+                self.backbone_params, frames, LineartGenerator(n_residual_blocks=3)
+            )
+            # LineartEncoder negates and repeats to 3ch (modules.py:1252,1270)
+            out = jnp.repeat(-line, 3, axis=-1)
+        elif self.kind in ("scribble_hed", "softedge_hed"):
+            from .hed import HEDNetwork, detect_hed
+
+            assert self.backbone_params is not None, (
+                "HED needs converted ControlNetHED_Apache2 weights"
+            )
+            edge = detect_hed(self.backbone_params, frames, HEDNetwork())
+            out = jnp.repeat(edge * 2.0 - 1.0, 3, axis=-1)
         else:
             raise NotImplementedError(
                 f"annotator {self.kind!r}: backbone not yet implemented on TPU; "
@@ -134,4 +154,18 @@ def build_annotator(target_name: str, params: Dict) -> AnnotatorEmbedder:
     kind = _KIND_MAP[target_name]
     if target_name == "LineartEncoder" and not params.get("lineart_standard", True):
         kind = "lineart_model"
-    return AnnotatorEmbedder(kind)
+    backbone_params = None
+    ckpt = params.get("ckpt_path")
+    if ckpt:
+        from ...io.torch_convert import load_torch_state_dict
+
+        sd = load_torch_state_dict(ckpt)
+        if kind == "lineart_model":
+            from .lineart_model import convert_lineart
+
+            backbone_params = convert_lineart(sd)
+        elif kind in ("scribble_hed", "softedge_hed"):
+            from .hed import convert_hed
+
+            backbone_params = convert_hed(sd)
+    return AnnotatorEmbedder(kind, backbone_params=backbone_params)

@@ -181,6 +181,7 @@ _UNET_KEY_MAP = {
     "disable_temporal_text_ca": "disable_temporal_text_ca",
     "disable_text_ca": "disable_text_ca",
     "enable_attention3d_crossframe": "enable_attention3d_crossframe",
+    "enable_ref_attn": "enable_ref_attn",
     "ST3DCA_ca_type": "st3dca_ca_type",
     "use_learnable_alpha": "use_learnable_alpha",
     "adm_in_channels": "adm_in_channels",
@@ -220,6 +221,9 @@ def build_network(cfg: Dict, dtype=jnp.float32) -> CCEditNetwork:
         "UNetModel3D", "ControlledUNetModel3DTV2V",
         "ControlledUNetModel3DTV2VInterpolate", "ControlNet3D",
     )
+    raig = name == "ControlledUNetModel2DRAIG"
+    if raig:
+        kw["enable_ref_attn"] = True
     unet = UNetModel(unet_type="pseudo-3d" if video else "2d", **kw)
 
     controlnet = None
@@ -235,6 +239,7 @@ def build_network(cfg: Dict, dtype=jnp.float32) -> CCEditNetwork:
         controlnet_img=controlnet_img,
         crossframe_type=p.get("crossframe_type"),
         interpolate=(name == "ControlledUNetModel3DTV2VInterpolate"),
+        raig=raig,
     )
 
 

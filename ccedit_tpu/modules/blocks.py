@@ -228,6 +228,12 @@ class ResBlock3D(nn.Module):
     zero-init 1D temporal twin (incl. the skip projection), each with its own
     GN+SiLU prelude; optional learnable alpha blends.
 
+    ``ssn`` mode (ResBlock3DSSN, openaimodel.py:778-854): an additional
+    per-channel (scale, shift) pair from an appearance embedding modulates the
+    out-norm activation: ``inject * (1 + scale2) + shift2`` (composed with the
+    timestep scale/shift when use_scale_shift_norm).  ``return_inject`` also
+    returns the pre-modulation normalized activation.
+
     Input/output: (B, T, H, W, C).
     """
 
@@ -241,10 +247,11 @@ class ResBlock3D(nn.Module):
     skip_t_emb: bool = False
     temporal_kernel_size: int = 3
     use_learnable_alpha: bool = False
+    ssn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb):
+    def __call__(self, x, emb, img_emb=None, return_inject: bool = False):
         out_ch = self.out_channels or self.channels
         b, t = x.shape[0], x.shape[1]
 
@@ -303,9 +310,21 @@ class ResBlock3D(nn.Module):
         out_tnorm = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="out_norm_temporal")
         out_tconv = TemporalConv(out_ch, self.temporal_kernel_size, dtype=self.dtype, name="out_conv_temporal")
 
+        if self.ssn and img_emb is not None:
+            scale2, shift2 = jnp.split(img_emb, 2, axis=-1)
+            while scale2.ndim < x5.ndim:
+                scale2, shift2 = scale2[:, None], shift2[:, None]
+        else:
+            scale2 = shift2 = None
+
+        inject = None
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out[:, None, None, None, :], 2, axis=-1)
-            x5 = out_norm(x5) * (1 + scale) + shift
+            inject = out_norm(x5)
+            if scale2 is not None:
+                x5 = inject * (1 + scale) * (1 + scale2) + shift + shift2
+            else:
+                x5 = inject * (1 + scale) + shift
             x5 = spatial_temporal(
                 x5,
                 lambda z: out_conv(nn.silu(z)),
@@ -314,12 +333,27 @@ class ResBlock3D(nn.Module):
             )
         else:
             x5 = x5 + emb_out[:, None, None, None, :]
-            x5 = spatial_temporal(
-                x5,
-                lambda z: out_conv(nn.silu(out_norm(z))),
-                lambda z: out_tconv(nn.silu(out_tnorm(z))),
-                alpha=alpha2,
-            )
+            if self.ssn:
+                # SSN always norms explicitly so the inject point exists
+                # (openaimodel.py:836-845)
+                inject = out_norm(x5)
+                if scale2 is not None:
+                    x5_mod = inject * (1 + scale2) + shift2
+                else:
+                    x5_mod = inject
+                x5 = spatial_temporal(
+                    x5_mod,
+                    lambda z: out_conv(nn.silu(z)),
+                    lambda z: out_tconv(nn.silu(out_tnorm(z))),
+                    alpha=alpha2,
+                )
+            else:
+                x5 = spatial_temporal(
+                    x5,
+                    lambda z: out_conv(nn.silu(out_norm(z))),
+                    lambda z: out_tconv(nn.silu(out_tnorm(z))),
+                    alpha=alpha2,
+                )
 
         # skip connection: pseudo-3D too (openaimodel.py:717-736)
         if out_ch == self.channels:
@@ -335,4 +369,7 @@ class ResBlock3D(nn.Module):
                 dtype=self.dtype, name="skip_conv_temporal",
             )
             skip = spatial_temporal(identity, sconv, stconv)
-        return skip + x5
+        out = skip + x5
+        if return_inject:
+            return out, inject
+        return out

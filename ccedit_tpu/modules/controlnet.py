@@ -162,6 +162,143 @@ class ControlNet2D(UNetModel):
         return h
 
 
+class HintPyramidLatent(nn.Module):
+    """ControlNet3D's stride-1 hint block (controlmodel.py:49-66): keeps the
+    hint at latent resolution, zero-ended."""
+
+    model_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h):
+        for i, ch in enumerate(_HINT_CHANNELS):
+            h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                        name=f"conv_{i}")(h)
+            h = nn.silu(h)
+        return nn.Conv(
+            self.model_channels, (3, 3), padding="SAME",
+            kernel_init=zeros_init, bias_init=zeros_init,
+            dtype=self.dtype, name="conv_out",
+        )(h)
+
+
+class ControlNet3D(UNetModel):
+    """Temporal-aware control branch (controlmodel.py:23-190): pseudo-3D
+    encoder trunk with per-scale pseudo-3D zero-conv taps (2D zero conv +
+    zero temporal conv).  Unused by the shipped CCEdit configs but part of
+    the reference surface.  Input: (B, T, h, w, C) latents + latent-res hint."""
+
+    hint_channels: int = 4
+    control_scales: float = 1.0
+    encoder_only: bool = True
+    unet_type: str = "pseudo-3d"
+
+    def setup(self):
+        super().setup()
+        from .blocks import TemporalConv, spatial_temporal
+
+        self._spatial_temporal = spatial_temporal
+        self.input_hint_block = HintPyramidLatent(
+            self.model_channels, dtype=self.dtype, name="input_hint_block"
+        )
+        zero_convs = []
+        zero_convs_t = []
+        ch = self.model_channels
+        cur = ch
+        k = 0
+
+        def add(c):
+            nonlocal k
+            zero_convs.append(ZeroConv2D(c, dtype=self.dtype, name=f"zero_convs_{k}"))
+            zero_convs_t.append(
+                TemporalConv(c, kernel_size=1, dtype=self.dtype,
+                             name=f"zero_convs_temporal_{k}")
+            )
+            k += 1
+
+        add(cur)
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self._nrb(level)):
+                cur = mult * ch
+                add(cur)
+            if level != len(self.channel_mult) - 1:
+                add(cur)
+        self.zero_convs = zero_convs
+        self.zero_convs_temporal = zero_convs_t
+        self.middle_block_out = ZeroConv2D(cur, dtype=self.dtype, name="middle_block_out")
+        self.middle_block_out_temporal = TemporalConv(
+            cur, kernel_size=1, dtype=self.dtype, name="middle_block_out_temporal"
+        )
+
+    def __call__(self, x, hint, timesteps, context=None, y=None):  # type: ignore[override]
+        from .blocks import spatial_temporal
+
+        b, t = x.shape[0], x.shape[1]
+        emb = self._embed(timesteps, y)
+        guided = fold_time(hint)
+        guided = self.input_hint_block(guided)
+        guided = unfold_time(guided, b)
+
+        outs = []
+        h = x
+        for i, blk in enumerate(self.input_blocks):
+            if i == 0:
+                conv_in = blk[0][1]
+                h = spatial_temporal(h, conv_in, self.input_blocks_temporal)
+                h = h + guided
+            else:
+                h = self._apply_block(blk, h, emb, context, None)
+            outs.append(
+                spatial_temporal(h, self.zero_convs[i], self.zero_convs_temporal[i])
+            )
+        h = self._apply_block(self.middle_block, h, emb, context, None)
+        outs.append(
+            spatial_temporal(h, self.middle_block_out, self.middle_block_out_temporal)
+        )
+        return tuple(o * self.control_scales for o in outs)
+
+
+def raig_ref_mapping(channel_mult, num_res_blocks, attention_resolutions):
+    """Bank index for every UNet transformer in application order.
+
+    Generalizes the reference's hardcoded SD-1.5 table (controlmodel.py:
+    658-678, {0..6, 5,5,4,3,3,2,1,1,0}): encoder/middle transformers use
+    their own banked activation; each decoder level reuses its encoder
+    level's banks in reverse, front-padded with the level's last bank.
+    """
+    nrb = (
+        list(num_res_blocks)
+        if isinstance(num_res_blocks, (list, tuple))
+        else [num_res_blocks] * len(channel_mult)
+    )
+    enc_banks_per_level = {}
+    mapping = []
+    ds = 1
+    k = 0
+    for level in range(len(channel_mult)):
+        banks = []
+        if ds in attention_resolutions:
+            for _ in range(nrb[level]):
+                banks.append(k)
+                mapping.append(k)
+                k += 1
+        enc_banks_per_level[level] = banks
+        if level != len(channel_mult) - 1:
+            ds *= 2
+    mapping.append(k)  # middle
+    k += 1
+    ds_dec = ds
+    for level in reversed(range(len(channel_mult))):
+        if ds_dec in attention_resolutions:
+            banks = list(reversed(enc_banks_per_level[level]))
+            n_slots = nrb[level] + 1
+            banks = [banks[0]] * (n_slots - len(banks)) + banks
+            mapping.extend(banks)
+        if level:
+            ds_dec //= 2
+    return tuple(mapping)
+
+
 class CCEditNetwork(nn.Module):
     """The composed CCEdit denoising network: pseudo-3D UNet + structure
     ControlNet (+ optional appearance ControlNet with center-frame injection
@@ -181,6 +318,7 @@ class CCEditNetwork(nn.Module):
     controlnet_img: Optional[ControlNet2D] = None
     crossframe_type: Optional[str] = None  # None | 'reference'
     interpolate: bool = False
+    raig: bool = False  # 2D reference-attention image generation
 
     def __call__(self, x, timesteps, cond):
         context = cond.get("crossattn")
@@ -188,6 +326,23 @@ class CCEditNetwork(nn.Module):
         concat = cond.get("concat")
         if concat is not None:
             x = jnp.concatenate([x, concat], axis=-1)
+
+        if self.raig:
+            # 2D reference-attention path (OpenAIWrapperRAIG, wrappers.py:47-79
+            # + ControlledUNetModel2DRAIG, controlmodel.py:620-719): the
+            # appearance branch is run only to bank its transformer
+            # activations; every UNet ST attends to a mapped bank entry.
+            _, bank = self.controlnet_img(
+                x, cond["cond_feat"], timesteps, context=context, y=y,
+                return_attn_bank=True,
+            )
+            tok = [a.reshape(a.shape[0], -1, a.shape[-1]) for a in bank]
+            mapping = raig_ref_mapping(
+                self.unet.channel_mult, self.unet.num_res_blocks,
+                self.unet.attention_resolutions,
+            )
+            refs = tuple(tok[m] for m in mapping)
+            return self.unet(x, timesteps, context=context, y=y, ref_contexts=refs)
 
         control = None
         if self.controlnet is not None and "control_hint" in cond:

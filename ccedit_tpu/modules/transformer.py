@@ -190,6 +190,9 @@ class SpatialTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, kv_reuse_every: int = 0):
+        return self._st_body(x, context, kv_reuse_every)
+
+    def _st_body(self, x, context=None, kv_reuse_every: int = 0):
         n, h, w, c = x.shape
         inner = self.n_heads * self.d_head
         x_in = x
@@ -219,6 +222,39 @@ class SpatialTransformer(nn.Module):
         x = x.reshape(n, h, w, -1)
         if not self.use_linear:
             x = _proj(self.in_channels, False, True, self.dtype, "proj_out")(x)
+        return x + x_in
+
+
+class SpatialTransformerCA(SpatialTransformer):
+    """2D SpatialTransformer + a reference cross-attention sub-layer whose
+    k/v come from banked appearance features (attention.py:892-997; consumed
+    by the RAIG 2D reference-attention generator, controlmodel.py:620-719).
+
+    The reference injects ``ref_control`` by module attribute; here it is the
+    explicit ``ref_context`` argument: (N, hw_ref, C) tokens.
+    """
+
+    @nn.compact
+    def __call__(self, x, context=None, ref_context=None, kv_reuse_every: int = 0):
+        x = self._st_body(x, context=context, kv_reuse_every=kv_reuse_every)
+        if ref_context is None:
+            return x
+        n, h, w, c = x.shape
+        inner = self.n_heads * self.d_head
+        x_in = x
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm_ca")(x)
+        x = _proj(inner, self.use_linear, False, self.dtype, "proj_in_ca")(x)
+        x = x.reshape(n, h * w, -1)
+        x = BasicTransformerSingleLayerBlock(
+            inner, self.n_heads, self.d_head, context_dim=None,
+            dtype=self.dtype, name="blocks_ca_0",
+        )(x, context=ref_context)
+        if self.use_linear:
+            x = _proj(self.in_channels, True, True, self.dtype, "proj_out_ca")(x)
+            x = x.reshape(n, h, w, -1)
+        else:
+            x = x.reshape(n, h, w, -1)
+            x = _proj(self.in_channels, False, True, self.dtype, "proj_out_ca")(x)
         return x + x_in
 
 

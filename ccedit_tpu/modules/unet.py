@@ -65,6 +65,7 @@ class UNetModel(nn.Module):
     resblock_updown: bool = False
     use_scale_shift_norm: bool = False
     disable_text_ca: bool = False
+    enable_ref_attn: bool = False  # 2D RAIG reference attention
     disable_temporal_text_ca: bool = True
     enable_attention3d_crossframe: bool = False
     st3dca_ca_type: str = "center"
@@ -132,7 +133,12 @@ class UNetModel(nn.Module):
                 use_linear=self.use_linear_in_transformer,
                 dtype=self.dtype, name=name, **kw,
             )
-        return SpatialTransformer(
+        cls2d = SpatialTransformer
+        if self.enable_ref_attn:
+            from .transformer import SpatialTransformerCA
+
+            cls2d = SpatialTransformerCA
+        return cls2d(
             in_channels=ch, n_heads=n_heads, d_head=d_head, depth=depth,
             context_dim=self.context_dim,
             use_linear=self.use_linear_in_transformer,
@@ -242,7 +248,7 @@ class UNetModel(nn.Module):
                     if refs is not None and idx[0] < len(refs):
                         ref_ctx = refs[idx[0]]
                     idx[0] += 1
-                if self.is_video:
+                if self.is_video or self.enable_ref_attn:
                     h = mod(h, context=context, ref_context=ref_ctx)
                 else:
                     h = mod(h, context=context)
