@@ -171,10 +171,20 @@ class HashTokenizer:
 
 def load_tokenizer(asset_dir: Optional[str] = None) -> object:
     """Find tokenizer assets in asset_dir (vocab.json+merges.txt or
-    bpe_simple_vocab_16e6.txt.gz); fall back to HashTokenizer."""
+    bpe_simple_vocab_16e6.txt.gz); prefer the native C++ implementation when
+    built; fall back to HashTokenizer without assets."""
     if asset_dir:
         d = Path(asset_dir)
         if (d / "vocab.json").exists() and (d / "merges.txt").exists():
+            try:
+                from .native_tokenizer import NativeClipTokenizer, available
+
+                if available():
+                    return NativeClipTokenizer(
+                        str(d / "vocab.json"), str(d / "merges.txt")
+                    )
+            except Exception:
+                pass
             return ClipTokenizer(str(d / "vocab.json"), str(d / "merges.txt"))
         gz = d / "bpe_simple_vocab_16e6.txt.gz"
         if gz.exists():
