@@ -185,6 +185,7 @@ _UNET_KEY_MAP = {
     "ST3DCA_ca_type": "st3dca_ca_type",
     "use_learnable_alpha": "use_learnable_alpha",
     "adm_in_channels": "adm_in_channels",
+    "use_checkpoint": "use_remat",
 }
 
 

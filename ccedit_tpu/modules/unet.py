@@ -72,6 +72,9 @@ class UNetModel(nn.Module):
     use_learnable_alpha: bool = False
     adm_in_channels: Optional[int] = None  # vector conditioning (SDXL 'sequential')
     encoder_only: bool = False
+    use_remat: bool = False  # activation rematerialization (the reference's
+    # use_checkpoint flag, diffusionmodules/util.py:46-241) — trades FLOPs for
+    # HBM in training; applied per res/attn block
     dtype: Dtype = jnp.float32
 
     @property
@@ -98,6 +101,8 @@ class UNetModel(nn.Module):
 
     def _make_res(self, ch, out_ch, name, up=False, down=False):
         cls = ResBlock3D if self.is_video else ResBlock
+        if self.use_remat:
+            cls = nn.remat(cls)
         kw = {}
         if self.is_video:
             kw["use_learnable_alpha"] = self.use_learnable_alpha
@@ -121,6 +126,8 @@ class UNetModel(nn.Module):
                 if self.enable_attention3d_crossframe
                 else SpatialTransformer3D
             )
+            if self.use_remat:
+                cls = nn.remat(cls)
             kw = dict(
                 disable_temporal_text_ca=self.disable_temporal_text_ca,
                 use_learnable_alpha=self.use_learnable_alpha,
@@ -138,6 +145,8 @@ class UNetModel(nn.Module):
             from .transformer import SpatialTransformerCA
 
             cls2d = SpatialTransformerCA
+        if self.use_remat:
+            cls2d = nn.remat(cls2d)
         return cls2d(
             in_channels=ch, n_heads=n_heads, d_head=d_head, depth=depth,
             context_dim=self.context_dim,

@@ -203,3 +203,27 @@ class TestRAIGMapping:
 
         mapping = raig_ref_mapping((1, 2, 4, 4), 2, (4, 2, 1))
         assert mapping == (0, 1, 2, 3, 4, 5, 6, 5, 5, 4, 3, 3, 2, 1, 1, 0)
+
+
+class TestRemat:
+    def test_remat_unet_grad_matches_shapes(self, rng):
+        """use_remat (the reference's use_checkpoint) must not change params
+        or outputs; gradients flow."""
+        unet_a = UNetModel(unet_type="pseudo-3d", use_remat=False, **TINY)
+        unet_b = UNetModel(unet_type="pseudo-3d", use_remat=True, **TINY)
+        x = jax.random.normal(rng, (1, 2, 8, 8, 4))
+        t = jnp.array([100.0])
+        ctx = jnp.ones((1, 7, 16))
+        pa = unet_a.init(jax.random.PRNGKey(0), x, t, ctx)
+        pb = unet_b.init(jax.random.PRNGKey(0), x, t, ctx)
+        assert jax.tree_util.tree_structure(pa) == jax.tree_util.tree_structure(pb)
+        oa = unet_a.apply(pa, x, t, ctx)
+        ob = unet_b.apply(pb, x, t, ctx)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=1e-5)
+
+        def loss(p):
+            return jnp.sum(unet_b.apply(p, x, t, ctx) ** 2)
+
+        g = jax.grad(loss)(pb)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.isfinite(l).all()) for l in leaves)
