@@ -95,15 +95,31 @@ def main():
         )
         return guider.combine(out, sv)
 
+    # two separate programs: keeps each compile small enough for the remote
+    # compile service and lets the denoise scan reuse its cache independently
     @jax.jit
+    def sample_clip(x0, key):
+        return sampler(denoise_fn, x0, key)
+
+    @jax.jit
+    def decode_clip(latents):
+        return vae.apply(vae_params, latents / 0.18215, method=AutoencoderKL.decode)
+
     def edit_clip(x0, key):
-        latents = sampler(denoise_fn, x0, key)
-        frames = vae.apply(vae_params, latents / 0.18215, method=AutoencoderKL.decode)
-        return frames
+        return decode_clip(sample_clip(x0, key))
 
     x0 = jax.random.normal(jax.random.PRNGKey(1), x.shape, dtype=jnp.float32)
     t0 = time.time()
-    out = jax.block_until_ready(edit_clip(x0, jax.random.PRNGKey(2)))
+    for attempt in range(3):
+        try:
+            out = jax.block_until_ready(edit_clip(x0, jax.random.PRNGKey(2)))
+            break
+        except Exception as e:  # transient remote-compile failures
+            print(f"# compile attempt {attempt} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            if attempt == 2:
+                raise
+            time.sleep(10)
     compile_s = time.time() - t0
 
     times = []

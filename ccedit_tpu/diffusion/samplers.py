@@ -256,46 +256,77 @@ class EulerEDMSampler(BaseSampler):
         # Heun's correction is skipped when next_sigma == 0 (sampling.py:344-356)
         use_corr = nxt > 1e-14 if heun else np.zeros_like(nxt, dtype=bool)
 
-        def body(x, consts, rng_i):
-            sigma_hat, next_sigma, churn, corr = consts
-            eps = jax.random.normal(rng_i, x.shape, dtype=x.dtype)
-            x = x + eps * churn
-            denoised = denoise_fn(x, sigma_hat)
-            d = _to_d(x, sigma_hat, denoised)
-            dt = next_sigma - sigma_hat
-            euler = x + dt * d
-            if not heun:
-                return euler
-            denoised2 = denoise_fn(euler, next_sigma)
-            d2 = _to_d(euler, next_sigma, denoised2)
-            corrected = x + dt * 0.5 * (d + d2)
-            return jnp.where(corr > 0, corrected, euler)
-
-        if heun and not bool(use_corr[-1]) and len(idx) > 0:
-            # peel the final (next_sigma==0) step: euler-only, saves one eval
-            consts_main = (sig_hat[:-1], nxt[:-1], churn_std[:-1], use_corr[:-1].astype(np.float32))
-            x, rng = _scan_steps(body, x, rng, consts_main, pre_fn, sig[:-1])
-
-            def last_body(x, consts, rng_i):
+        if not heun:
+            def body(x, consts, rng_i):
                 sigma_hat, next_sigma, churn = consts
                 eps = jax.random.normal(rng_i, x.shape, dtype=x.dtype)
                 x = x + eps * churn
                 denoised = denoise_fn(x, sigma_hat)
-                return x + (next_sigma - sigma_hat) * _to_d(x, sigma_hat, denoised)
+                d = _to_d(x, sigma_hat, denoised)
+                return x + (next_sigma - sigma_hat) * d
 
-            rng, k_pre, k_step = jax.random.split(rng, 3)
-            if pre_fn is not None:
-                x = pre_fn(x, _bcast(sig[-1], x), k_pre)
-            x = last_body(
-                x,
-                (_bcast(sig_hat[-1], x), _bcast(nxt[-1], x), _bcast(churn_std[-1], x)),
-                k_step,
-            )
+            x, rng = _scan_steps(body, x, rng, (sig_hat, nxt, churn_std), pre_fn, sig)
             return x
 
-        consts = (sig_hat, nxt, churn_std, use_corr.astype(np.float32))
-        x, rng = _scan_steps(body, x, rng, consts, pre_fn, sig)
-        return x
+        # Heun: ONE scan over half-steps with a single denoise call site
+        # (see DPMPP2SAncestralSampler compile-size note).
+        # row: (q, phase0, phase1, sigma_hat, next_sigma, churn, do_pre, sig_for_pre)
+        rows = []
+        for i in range(len(idx)):
+            base = dict(sigma_hat=sig_hat[i], next_sigma=nxt[i], churn=churn_std[i],
+                        sig_pre=sig[i])
+            if use_corr[i]:
+                rows.append(dict(base, q=sig_hat[i], phase=0, do_pre=1.0))
+                rows.append(dict(base, q=nxt[i], phase=1, do_pre=0.0))
+            else:
+                rows.append(dict(base, q=sig_hat[i], phase=2, do_pre=1.0))
+
+        def col(key):
+            return np.asarray([r[key] for r in rows], dtype=np.float64)
+
+        phases = np.asarray([r["phase"] for r in rows])
+        consts = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype=jnp.float32),
+            (
+                col("q"),
+                (phases == 0).astype(np.float32),
+                (phases == 1).astype(np.float32),
+                (phases == 2).astype(np.float32),
+                col("sigma_hat"), col("next_sigma"), col("churn"),
+                col("do_pre"), col("sig_pre"),
+            ),
+        )
+
+        def scan_body(carry, per):
+            x_base, x_query, d_saved, rng = carry
+            (q, p0, p1, p2, sigma_hat, next_sigma, churn, do_pre, sig_pre) = per
+            rng, k_pre, k_noise = jax.random.split(rng, 3)
+            if pre_fn is not None:
+                x_pre = pre_fn(x_query, sig_pre, k_pre)
+                x_query = jnp.where(do_pre > 0, x_pre, x_query)
+                x_base = jnp.where(do_pre > 0, x_pre, x_base)
+            # churn noise only on fresh-step rows (phase 0/2)
+            eps = jax.random.normal(k_noise, x_query.shape, dtype=x_query.dtype)
+            churn_add = eps * churn * (p0 + p2)
+            x_query = x_query + churn_add
+            x_base = x_base + churn_add
+
+            denoised = denoise_fn(x_query, q)  # single call site
+
+            dt = next_sigma - sigma_hat
+            d = (x_query - denoised) / q
+            euler = x_base + dt * d  # valid on phase 0/2 (x_query==x_base)
+            corrected = x_base + dt * 0.5 * (d_saved + d)  # phase 1
+
+            new_base = p0 * x_base + (p1 + p2) * jnp.where(p1 > 0, corrected, euler)
+            new_query = p0 * euler + (p1 + p2) * jnp.where(p1 > 0, corrected, euler)
+            new_d = p0 * d + (p1 + p2) * d_saved  # keep d from the base eval
+            return (new_base, new_query, new_d, rng), None
+
+        (x_base, x_query, _, rng), _ = jax.lax.scan(
+            scan_body, (x, x, jnp.zeros_like(x), rng), consts
+        )
+        return x_query
 
 
 @dataclasses.dataclass
@@ -348,8 +379,13 @@ class DPMPP2SAncestralSampler(AncestralSampler):
       mult1 = sigma(s)/sigma(t); mult2 = expm1(-h/2)
       mult3 = sigma(t_down)/sigma(t); mult4 = expm1(-h)
     The final step (sigma_down == 0) degenerates to the plain ancestral Euler
-    step and is peeled off so no second network eval is spent on it
-    (sampling.py:390-392 "Save a network evaluation").
+    step, saving its midpoint network eval (sampling.py:390-392).
+
+    Compile-size note: the whole run is ONE lax.scan over *half-steps* with a
+    single ``denoise_fn`` call site — each iteration does one network eval
+    and phase-selected cheap math (phase 0 = first half, 1 = midpoint half,
+    2 = degenerate euler).  A naive body would inline the multi-GB UNet HLO
+    2-3x, which overwhelmed the TPU remote-compile service at SD scale.
     """
 
     def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn):
@@ -372,43 +408,65 @@ class DPMPP2SAncestralSampler(AncestralSampler):
         for arr in (sig_mid, mult1, mult2, mult3, mult4):
             np.nan_to_num(arr, copy=False)
 
-        def full_body(x, consts, rng_i):
-            sigma, next_sigma, sigma_down, sigma_up, s_mid, m1, m2, m3, m4 = consts
-            denoised = denoise_fn(x, sigma)
-            x2 = m1 * x - m2 * denoised
-            denoised2 = denoise_fn(x2, s_mid)
-            x = m3 * x - m4 * denoised2
-            return self._ancestral_noise(x, rng_i, next_sigma, sigma_up)
+        # ---- build per-half-step constant rows ------------------------
+        # row: (sigma_query, phase0, phase1, phase2, sigma, next_sigma,
+        #       sigma_down, sigma_up, m1, m2, m3, m4, do_pre)
+        rows = []
+        for i in range(n):
+            base = dict(sigma=sig[i], next_sigma=nxt[i], sigma_down=down[i],
+                        sigma_up=up[i], m1=mult1[i], m2=mult2[i],
+                        m3=mult3[i], m4=mult4[i])
+            if use_mid[i]:
+                rows.append(dict(base, q=sig[i], phase=0, do_pre=1.0))
+                rows.append(dict(base, q=sig_mid[i], phase=1, do_pre=0.0))
+            else:
+                rows.append(dict(base, q=sig[i], phase=2, do_pre=1.0))
 
-        def euler_body(x, consts, rng_i):
-            sigma, next_sigma, sigma_down, sigma_up = consts
-            denoised = denoise_fn(x, sigma)
-            d = _to_d(x, sigma, denoised)
-            x = x + (sigma_down - sigma) * d
-            return self._ancestral_noise(x, rng_i, next_sigma, sigma_up)
+        def col(key):
+            return np.asarray([r[key] for r in rows], dtype=np.float64)
 
-        # main scan: all steps with a midpoint eval
-        m = int(np.sum(use_mid))  # prefix length (zero sigma only at the end)
-        assert bool(np.all(use_mid[:m])) and not bool(np.any(use_mid[m:])), (
-            "non-contiguous zero-sigma steps in schedule"
+        phases = np.asarray([r["phase"] for r in rows])
+        consts = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype=jnp.float32),
+            (
+                col("q"),
+                (phases == 0).astype(np.float32),
+                (phases == 1).astype(np.float32),
+                (phases == 2).astype(np.float32),
+                col("sigma"), col("next_sigma"), col("sigma_down"),
+                col("sigma_up"), col("m1"), col("m2"), col("m3"), col("m4"),
+                col("do_pre"),
+            ),
         )
-        consts_main = (
-            sig[:m], nxt[:m], down[:m], up[:m],
-            sig_mid[:m], mult1[:m], mult2[:m], mult3[:m], mult4[:m],
-        )
-        x, rng = _scan_steps(full_body, x, rng, consts_main, pre_fn, sig[:m])
 
-        # epilogue: degenerate steps (sigma_down == 0) use the euler-only path
-        for i in range(m, n):
+        def scan_body(carry, per):
+            x_base, x_query, rng = carry
+            (q, p0, p1, p2, sigma, next_sigma, sigma_down, sigma_up,
+             m1, m2, m3, m4, do_pre) = per
             rng, k_pre, k_step = jax.random.split(rng, 3)
             if pre_fn is not None:
-                x = pre_fn(x, _bcast(sig[i], x), k_pre)
-            x = euler_body(
-                x,
-                (_bcast(sig[i], x), _bcast(nxt[i], x), _bcast(down[i], x), _bcast(up[i], x)),
-                k_step,
-            )
-        return x
+                x_pre = pre_fn(x_query, sigma, k_pre)
+                x_query = jnp.where(do_pre > 0, x_pre, x_query)
+                x_base = jnp.where(do_pre > 0, x_pre, x_base)
+
+            denoised = denoise_fn(x_query, q)  # the single network call site
+
+            # phase 0: midpoint query; x_base unchanged
+            x_q_p0 = m1 * x_base - m2 * denoised
+            # phase 1: full DPM++2S update from x_base + ancestral noise
+            x_p1 = m3 * x_base - m4 * denoised
+            x_p1 = self._ancestral_noise(x_p1, k_step, next_sigma, sigma_up)
+            # phase 2: ancestral euler (degenerate final step)
+            d = (x_query - denoised) / sigma
+            x_p2 = x_query + (sigma_down - sigma) * d
+            x_p2 = self._ancestral_noise(x_p2, k_step, next_sigma, sigma_up)
+
+            new_base = p0 * x_base + p1 * x_p1 + p2 * x_p2
+            new_query = p0 * x_q_p0 + p1 * x_p1 + p2 * x_p2
+            return (new_base, new_query, rng), None
+
+        (x_base, x_query, rng), _ = jax.lax.scan(scan_body, (x, x, rng), consts)
+        return x_query
 
 
 # ---------------------------------------------------------------------------

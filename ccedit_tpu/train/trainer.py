@@ -44,6 +44,9 @@ class TrainerConfig:
     max_steps: int = 1000
     ckpt_every: int = 500
     log_every: int = 10
+    sample_every: int = 0  # 0 = off; the ImageLogger equivalent (main.py:326-523)
+    sample_steps: int = 10
+    negative_prompt: str = "ugly, low quality"
     accumulate_grad_batches: int = 1
     base_lr: float = 1e-4
     scale_lr: bool = True
@@ -112,6 +115,38 @@ class Trainer:
                 w.writeheader()
             w.writerow(row)
 
+    # -- validation sampling (the ImageLogger / log_images equivalent,
+    #    main.py:439-487 + diffusion.py:608-708) -----------------------
+    def log_samples(self, params, batch: Dict, step: int, ema_shadow=None):
+        """Sample from the current (or EMA) weights on a training batch's
+        conditioning and save the clips next to the logs."""
+        from ..data.video import save_video_frames
+
+        eng = self.engine
+        use_params = dict(params)
+        if ema_shadow is not None:
+            use_params["network"] = ema_shadow
+        prepared = eng.conditioner.prepare(batch)
+        # first sample only (the reference logs a small grid; we log one clip)
+        prepared = {
+            k: (v[:1] if not isinstance(v, list) else v[:1])
+            for k, v in prepared.items()
+        }
+        c, uc = eng.conditioner.get_unconditional_conditioning(
+            use_params["conditioner"], prepared, prepared
+        )
+        x = np.asarray(prepared[eng.input_key])[:1]
+        z = eng.encode_first_stage(use_params, jnp.asarray(x))
+        rng = jax.random.PRNGKey(self.cfg.seed + step)
+        latents = eng.sample(
+            use_params, c, uc, z.shape, rng, num_steps=self.cfg.sample_steps
+        )
+        frames = np.asarray(eng.decode_first_stage(use_params, latents))[0]
+        out_dir = self.logdir / "images"
+        out_dir.mkdir(exist_ok=True)
+        save_video_frames(frames, str(out_dir / f"step{step:08d}_sample.gif"), fps=4)
+        save_video_frames(x[0], str(out_dir / f"step{step:08d}_input.gif"), fps=4)
+
     # -- main loop ----------------------------------------------------
     def fit(self, loader, batch_size: int, resume: bool = True):
         cfg = self.cfg
@@ -171,6 +206,16 @@ class Trainer:
                         self._log(step, {"loss": loss, "seconds": dt})
                     if step % cfg.ckpt_every == 0:
                         self.save(mngr, state)
+                    if cfg.sample_every and step % cfg.sample_every == 0:
+                        try:
+                            host_params = jax.device_get(state.params)
+                            shadow = (
+                                jax.device_get(state.ema.shadow)
+                                if state.ema is not None else None
+                            )
+                            self.log_samples(host_params, batch, step, shadow)
+                        except Exception as e:  # sampling must not kill training
+                            print(f"[log_samples] failed at step {step}: {e}")
         except BaseException:
             # crash save (melk, main.py:1016-1022)
             self.save(mngr, state)

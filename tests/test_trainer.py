@@ -67,3 +67,37 @@ class TestTrainerSmoke:
         )
         state2 = trainer2.fit(loader, batch_size=8, resume=True)
         assert int(state2.step) == 3
+
+
+class TestValidationSampling:
+    def test_log_samples_writes_gifs(self, tmp_path):
+        engine = make_tiny_engine(freeze="none")
+        ds = SyntheticVideoDataset(n_items=8, num_frames=2, size_hw=(16, 16))
+
+        class HintFix:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                s = ds[i]
+                hint = np.repeat(np.repeat(s["jpg"], 4, axis=1), 4, axis=2)
+                return {
+                    "jpg": s["jpg"],
+                    "txt_emb": np.zeros((7, 16), dtype=np.float32),
+                    "control_hint": hint,
+                }
+
+        loader = DataLoader(HintFix(), batch_size=8, seed=0)
+        plan = make_mesh(jax.devices(), data=8, model=1)
+        trainer = Trainer(
+            engine,
+            TrainerConfig(
+                logdir=str(tmp_path / "run"), max_steps=1, ckpt_every=5,
+                log_every=1, sample_every=1, sample_steps=2,
+                base_lr=1e-4, scale_lr=False, seed=0,
+            ),
+            plan=plan,
+        )
+        trainer.fit(loader, batch_size=8, resume=False)
+        imgs = list((tmp_path / "run" / "images").glob("*.gif"))
+        assert len(imgs) >= 2  # sample + input
