@@ -68,11 +68,16 @@ def main():
         "crossattn": jnp.zeros((1, 77, 768), dtype=dtype),
         "control_hint": jnp.zeros((1, T, H, W, 3), dtype=dtype),
     }
+    # params via abstract shape evaluation only — no init compile (jitted
+    # full-model init traces take >1h on this throttled host). Latency is
+    # weight-value-independent; zeros are fine for a speed benchmark.
     t0 = time.time()
-    params = jax.jit(net.init)(rng, x, tt, cond)
-    vae_params = jax.jit(
-        lambda k, z: vae.init(k, z, method=AutoencoderKL.decode)
-    )(rng, x[:, 0])
+    p_shapes = jax.eval_shape(net.init, rng, x, tt, cond)
+    params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), p_shapes)
+    v_shapes = jax.eval_shape(
+        lambda k, z: vae.init(k, z, method=AutoencoderKL.decode), rng, x[:, 0]
+    )
+    vae_params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), v_shapes)
     init_s = time.time() - t0
     n_params = sum(v.size for v in jax.tree_util.tree_leaves(params))
 
@@ -109,7 +114,16 @@ def main():
         return decode_clip(sample_clip(x0, key))
 
     x0 = jax.random.normal(jax.random.PRNGKey(1), x.shape, dtype=jnp.float32)
+    print(f"# init done in {init_s:.1f}s; tracing sample program...", file=sys.stderr, flush=True)
     t0 = time.time()
+    traced = sample_clip.trace(x0, jax.random.PRNGKey(2))
+    print(f"# trace {time.time()-t0:.1f}s; lowering...", file=sys.stderr, flush=True)
+    t1 = time.time()
+    lowered = traced.lower()
+    print(f"# lower {time.time()-t1:.1f}s; compiling...", file=sys.stderr, flush=True)
+    t1 = time.time()
+    compiled = lowered.compile()
+    print(f"# compile {time.time()-t1:.1f}s", file=sys.stderr, flush=True)
     for attempt in range(3):
         try:
             out = jax.block_until_ready(edit_clip(x0, jax.random.PRNGKey(2)))
