@@ -3,18 +3,23 @@
 
 Workload (README.md:56-57 of the reference): edit a 17-keyframe 512x768 clip,
 30 DPM++ 2S Ancestral steps, CFG 7.5 (batch-doubled), SD-1.5-scale UNet +
-ControlNet — ~120 UNet+ControlNet evaluations per clip plus VAE decode, all
-compiled into one XLA program.
+ControlNet — ~120 UNet+ControlNet evaluations per clip plus VAE decode, as
+ONE lax.scan program with a single network call site.
 
 Prints ONE JSON line:
   {"metric": "clip_edit_latency", "value": <s>, "unit": "s",
    "vs_baseline": <baseline_s / value>}
 
 Baseline: the project target of 10 s per clip (BASELINE.md; the reference
-itself publishes no numbers).  Weights are random — latency is architecture-
-and compiler-bound, not weight-bound.
+itself publishes no numbers).  Weights are zeros via jax.eval_shape — latency
+is architecture- and compiler-bound, not weight-bound (jitted full-model init
+traces take >1h on this throttled host).
 
-Env knobs: BENCH_FRAMES/BENCH_H/BENCH_W/BENCH_STEPS to scale down; BENCH_FP32=1.
+Params and conditioning enter as jit ARGUMENTS — closure capture would bake
+6.5GB of weights into the HLO as constants, which breaks the remote compile
+service and bloats the compile cache.
+
+Env knobs: BENCH_FRAMES/BENCH_H/BENCH_W/BENCH_STEPS to scale; BENCH_FP32=1.
 """
 
 import json
@@ -41,6 +46,10 @@ from ccedit_tpu.modules.unet import UNetModel
 from ccedit_tpu.modules.vae import AutoencoderKL
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     T = int(os.environ.get("BENCH_FRAMES", 17))
     H = int(os.environ.get("BENCH_H", 512))
@@ -55,8 +64,7 @@ def main():
         transformer_depth=1, context_dim=768, dtype=dtype,
     )
     unet = UNetModel(unet_type="pseudo-3d", disable_temporal_text_ca=True, **sd15)
-    cn_kw = dict(sd15)
-    cn = ControlNet2D(hint_channels=3, **cn_kw)
+    cn = ControlNet2D(hint_channels=3, **sd15)
     net = CCEditNetwork(unet=unet, controlnet=cn)
     vae = AutoencoderKL(dtype=dtype)
 
@@ -68,9 +76,6 @@ def main():
         "crossattn": jnp.zeros((1, 77, 768), dtype=dtype),
         "control_hint": jnp.zeros((1, T, H, W, 3), dtype=dtype),
     }
-    # params via abstract shape evaluation only — no init compile (jitted
-    # full-model init traces take >1h on this throttled host). Latency is
-    # weight-value-independent; zeros are fine for a speed benchmark.
     t0 = time.time()
     p_shapes = jax.eval_shape(net.init, rng, x, tt, cond)
     params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), p_shapes)
@@ -80,6 +85,7 @@ def main():
     vae_params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), v_shapes)
     init_s = time.time() - t0
     n_params = sum(v.size for v in jax.tree_util.tree_leaves(params))
+    log(f"# params materialized in {init_s:.1f}s ({n_params/1e9:.2f}B)")
 
     den = DiscreteDenoiser(scaling="eps", weighting="eps")
     guider = VanillaCFG(scale=7.5)
@@ -91,50 +97,42 @@ def main():
         num_steps=steps,
     )
 
-    def denoise_fn(xx, sigma):
-        sv = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (xx.shape[0],))
-        x2, s2 = guider.expand(xx, sv)
-        out = den(
-            lambda a, b, c: net.apply(params, a.astype(dtype), b, c).astype(jnp.float32),
-            x2, s2, cond_cat,
-        )
-        return guider.combine(out, sv)
+    def make_denoise_fn(p, cc):
+        def denoise_fn(xx, sigma):
+            sv = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (xx.shape[0],))
+            x2, s2 = guider.expand(xx, sv)
+            out = den(
+                lambda a, b, c: net.apply(p, a.astype(dtype), b, c).astype(jnp.float32),
+                x2, s2, cc,
+            )
+            return guider.combine(out, sv)
 
-    # two separate programs: keeps each compile small enough for the remote
-    # compile service and lets the denoise scan reuse its cache independently
-    @jax.jit
-    def sample_clip(x0, key):
-        return sampler(denoise_fn, x0, key)
+        return denoise_fn
 
     @jax.jit
-    def decode_clip(latents):
-        return vae.apply(vae_params, latents / 0.18215, method=AutoencoderKL.decode)
+    def sample_clip(p, cc, x0, key):
+        return sampler(make_denoise_fn(p, cc), x0, key)
+
+    @jax.jit
+    def decode_clip(vp, latents):
+        return vae.apply(vp, latents / 0.18215, method=AutoencoderKL.decode)
 
     def edit_clip(x0, key):
-        return decode_clip(sample_clip(x0, key))
+        return decode_clip(vae_params, sample_clip(params, cond_cat, x0, key))
 
     x0 = jax.random.normal(jax.random.PRNGKey(1), x.shape, dtype=jnp.float32)
-    print(f"# init done in {init_s:.1f}s; tracing sample program...", file=sys.stderr, flush=True)
     t0 = time.time()
-    traced = sample_clip.trace(x0, jax.random.PRNGKey(2))
-    print(f"# trace {time.time()-t0:.1f}s; lowering...", file=sys.stderr, flush=True)
-    t1 = time.time()
-    lowered = traced.lower()
-    print(f"# lower {time.time()-t1:.1f}s; compiling...", file=sys.stderr, flush=True)
-    t1 = time.time()
-    compiled = lowered.compile()
-    print(f"# compile {time.time()-t1:.1f}s", file=sys.stderr, flush=True)
     for attempt in range(3):
         try:
             out = jax.block_until_ready(edit_clip(x0, jax.random.PRNGKey(2)))
             break
         except Exception as e:  # transient remote-compile failures
-            print(f"# compile attempt {attempt} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+            log(f"# compile attempt {attempt} failed: {type(e).__name__}: {e}")
             if attempt == 2:
                 raise
             time.sleep(10)
     compile_s = time.time() - t0
+    log(f"# compile+first run {compile_s:.1f}s")
 
     times = []
     for i in range(3):
@@ -152,7 +150,7 @@ def main():
                 "vs_baseline": round(baseline_s / latency, 3),
                 "detail": {
                     "workload": f"{T}f {H}x{W} {steps} steps DPM++2S CFG7.5 + VAE decode",
-                    "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
+                    "dtype": "bfloat16" if dtype == jnp.bfloat16 else "float32",
                     "device": str(jax.devices()[0]),
                     "params": n_params,
                     "frames_per_s_per_chip": round(T / latency, 3),

@@ -209,6 +209,7 @@ def run_pipeline(args, reference_mode: bool = False):
     rng = jax.random.PRNGKey(args.seed)
     params = None
     sample_jit = None
+    decode_jit = None
 
     for job in jobs:
         vid_name = Path(job["video"]).stem
@@ -248,17 +249,31 @@ def run_pipeline(args, reference_mode: bool = False):
                 z_ref = jnp.repeat(z_ref[:, None], args.num_keyframes, axis=1)
                 x_prior = z_ref if args.prior_type == "ref" else 0.5 * (z_video + z_ref)
 
+        if sample_jit is None:
+            # jit once with params/conditioning as ARGUMENTS (closure capture
+            # would bake the weights into the HLO as constants); reused across
+            # samples and jobs of identical shape
+            use_prior = x_prior is not None
+
+            def _sample(p, cc, ucc, key, prior):
+                return engine.sample(
+                    p, cc, ucc, z_shape, key, num_steps=steps,
+                    x_prior=prior if use_prior else None,
+                    prior_coefficient=args.prior_coefficient_x,
+                )
+
+            sample_jit = jax.jit(_sample)
+            decode_jit = jax.jit(
+                lambda p, z: engine.decode_first_stage(p, z)
+            )
+
         outputs = []
         t0 = time.time()
+        prior_arg = x_prior if x_prior is not None else jnp.zeros(z_shape)
         for s in range(args.num_samples):
             rng, k = jax.random.split(rng)
-            latents = engine.sample(
-                params, c, uc, z_shape, k,
-                num_steps=steps,
-                x_prior=x_prior,
-                prior_coefficient=args.prior_coefficient_x,
-            )
-            decoded = engine.decode_first_stage(params, latents)
+            latents = sample_jit(params, c, uc, k, prior_arg)
+            decoded = decode_jit(params, latents)
             outputs.append(np.asarray(decoded[0]))
         dt = time.time() - t0
 
