@@ -91,34 +91,38 @@ def main():
     guider = VanillaCFG(scale=7.5)
     uc = {**cond, "crossattn": jnp.ones_like(cond["crossattn"])}
     cond_cat = guider.prepare_cond(cond, uc)
+    # segment the denoise scan into multiple device executions: single calls
+    # >~2 min hit the axon per-execution RPC timeout at full resolution
+    segment = int(os.environ.get("BENCH_SEGMENT", 16))
     sampler = make_sampler(
         "dpmpp_2s_ancestral",
         discretization=LegacyDDPMDiscretization(),
         num_steps=steps,
+        segment_size=segment,
     )
 
-    def make_denoise_fn(p, cc):
-        def denoise_fn(xx, sigma):
-            sv = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (xx.shape[0],))
-            x2, s2 = guider.expand(xx, sv)
-            out = den(
-                lambda a, b, c: net.apply(p, a.astype(dtype), b, c).astype(jnp.float32),
-                x2, s2, cc,
-            )
-            return guider.combine(out, sv)
+    def denoise_with_ctx(ctx, xx, sigma):
+        p, cc = ctx
+        sv = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (xx.shape[0],))
+        x2, s2 = guider.expand(xx, sv)
+        out = den(
+            lambda a, b, c: net.apply(p, a.astype(dtype), b, c).astype(jnp.float32),
+            x2, s2, cc,
+        )
+        return guider.combine(out, sv)
 
-        return denoise_fn
-
-    @jax.jit
-    def sample_clip(p, cc, x0, key):
-        return sampler(make_denoise_fn(p, cc), x0, key)
+    def sample_clip(x0, key):
+        # eager: the sampler jits each scan segment internally with params
+        # threaded through jit args (one compile, chunk executions below the
+        # device RPC timeout)
+        return sampler((denoise_with_ctx, (params, cond_cat)), x0, key)
 
     @jax.jit
     def decode_clip(vp, latents):
         return vae.apply(vp, latents / 0.18215, method=AutoencoderKL.decode)
 
     def edit_clip(x0, key):
-        return decode_clip(vae_params, sample_clip(params, cond_cat, x0, key))
+        return decode_clip(vae_params, sample_clip(x0, key))
 
     x0 = jax.random.normal(jax.random.PRNGKey(1), x.shape, dtype=jnp.float32)
     t0 = time.time()

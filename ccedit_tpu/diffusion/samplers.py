@@ -384,9 +384,18 @@ class DPMPP2SAncestralSampler(AncestralSampler):
     Compile-size note: the whole run is ONE lax.scan over *half-steps* with a
     single ``denoise_fn`` call site — each iteration does one network eval
     and phase-selected cheap math (phase 0 = first half, 1 = midpoint half,
-    2 = degenerate euler).  A naive body would inline the multi-GB UNet HLO
-    2-3x, which overwhelmed the TPU remote-compile service at SD scale.
+    2 = degenerate euler; all-zero phases = identity padding row).  A naive
+    body would inline the multi-GB UNet HLO 2-3x, which overwhelmed the TPU
+    remote-compile service at SD scale.
+
+    ``segment_size`` (>0): run the scan in equal-length chunks, each its own
+    device execution (one compile serves all chunks; identity rows pad the
+    tail).  Needed on infrastructures with per-execution RPC timeouts — a
+    full 30-step SD-scale clip is a ~3 min single call otherwise.  Only
+    meaningful when the sampler is invoked eagerly (not under an outer jit).
     """
+
+    segment_size: int = 0
 
     def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn):
         sig, nxt, down, up = self._ancestral_tables(sigmas, start_step)
@@ -422,6 +431,15 @@ class DPMPP2SAncestralSampler(AncestralSampler):
             else:
                 rows.append(dict(base, q=sig[i], phase=2, do_pre=1.0))
 
+        # identity padding rows (all phase flags zero) for equal segments
+        seg = self.segment_size
+        if seg and seg > 0:
+            pad = (-len(rows)) % seg
+            for _ in range(pad):
+                rows.append(dict(sigma=1.0, next_sigma=1.0, sigma_down=1.0,
+                                 sigma_up=0.0, m1=0.0, m2=0.0, m3=0.0, m4=0.0,
+                                 q=1.0, phase=-1, do_pre=0.0))
+
         def col(key):
             return np.asarray([r[key] for r in rows], dtype=np.float64)
 
@@ -439,33 +457,62 @@ class DPMPP2SAncestralSampler(AncestralSampler):
             ),
         )
 
-        def scan_body(carry, per):
+        # ``denoise_fn`` may be a (fn, ctx) pair with fn(ctx, x, sigma): in
+        # segmented mode ctx (params/conditioning) must flow through jit
+        # ARGUMENTS — a closure would bake the weights into the HLO.
+        if isinstance(denoise_fn, tuple):
+            call_fn, call_ctx = denoise_fn
+        else:
+            call_fn, call_ctx = (lambda _ctx, xx, s: denoise_fn(xx, s)), None
+
+        def make_body(call):
+            def scan_body(carry, per):
+                x_base, x_query, rng = carry
+                (q, p0, p1, p2, sigma, next_sigma, sigma_down, sigma_up,
+                 m1, m2, m3, m4, do_pre) = per
+                rng, k_pre, k_step = jax.random.split(rng, 3)
+                if pre_fn is not None:
+                    x_pre = pre_fn(x_query, sigma, k_pre)
+                    x_query = jnp.where(do_pre > 0, x_pre, x_query)
+                    x_base = jnp.where(do_pre > 0, x_pre, x_base)
+
+                denoised = call(x_query, q)  # the single network call site
+
+                # phase 0: midpoint query; x_base unchanged
+                x_q_p0 = m1 * x_base - m2 * denoised
+                # phase 1: full DPM++2S update from x_base + ancestral noise
+                x_p1 = m3 * x_base - m4 * denoised
+                x_p1 = self._ancestral_noise(x_p1, k_step, next_sigma, sigma_up)
+                # phase 2: ancestral euler (degenerate final step)
+                d = (x_query - denoised) / sigma
+                x_p2 = x_query + (sigma_down - sigma) * d
+                x_p2 = self._ancestral_noise(x_p2, k_step, next_sigma, sigma_up)
+
+                p_id = 1.0 - p0 - p1 - p2  # padding row: identity
+                new_base = p0 * x_base + p1 * x_p1 + p2 * x_p2 + p_id * x_base
+                new_query = p0 * x_q_p0 + p1 * x_p1 + p2 * x_p2 + p_id * x_query
+                return (new_base, new_query, rng), None
+
+            return scan_body
+
+        if seg and seg > 0:
+            @jax.jit
+            def run_chunk(ctx, carry, chunk):
+                body = make_body(lambda xx, q: call_fn(ctx, xx, q))
+                return jax.lax.scan(body, carry, chunk)
+
+            carry = (x, x, rng)
+            n_chunks = len(rows) // seg
+            for ci in range(n_chunks):
+                chunk = jax.tree_util.tree_map(
+                    lambda a: a[ci * seg : (ci + 1) * seg], consts
+                )
+                carry, _ = run_chunk(call_ctx, carry, chunk)
             x_base, x_query, rng = carry
-            (q, p0, p1, p2, sigma, next_sigma, sigma_down, sigma_up,
-             m1, m2, m3, m4, do_pre) = per
-            rng, k_pre, k_step = jax.random.split(rng, 3)
-            if pre_fn is not None:
-                x_pre = pre_fn(x_query, sigma, k_pre)
-                x_query = jnp.where(do_pre > 0, x_pre, x_query)
-                x_base = jnp.where(do_pre > 0, x_pre, x_base)
+            return x_query
 
-            denoised = denoise_fn(x_query, q)  # the single network call site
-
-            # phase 0: midpoint query; x_base unchanged
-            x_q_p0 = m1 * x_base - m2 * denoised
-            # phase 1: full DPM++2S update from x_base + ancestral noise
-            x_p1 = m3 * x_base - m4 * denoised
-            x_p1 = self._ancestral_noise(x_p1, k_step, next_sigma, sigma_up)
-            # phase 2: ancestral euler (degenerate final step)
-            d = (x_query - denoised) / sigma
-            x_p2 = x_query + (sigma_down - sigma) * d
-            x_p2 = self._ancestral_noise(x_p2, k_step, next_sigma, sigma_up)
-
-            new_base = p0 * x_base + p1 * x_p1 + p2 * x_p2
-            new_query = p0 * x_q_p0 + p1 * x_p1 + p2 * x_p2
-            return (new_base, new_query, rng), None
-
-        (x_base, x_query, rng), _ = jax.lax.scan(scan_body, (x, x, rng), consts)
+        body = make_body(lambda xx, q: call_fn(call_ctx, xx, q))
+        (x_base, x_query, rng), _ = jax.lax.scan(body, (x, x, rng), consts)
         return x_query
 
 
