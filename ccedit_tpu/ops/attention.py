@@ -51,6 +51,35 @@ def _flash_ok(q, k) -> bool:
     return n_q >= 512 and n_k >= 512 and n_q % 128 == 0 and n_k % 128 == 0
 
 
+def _largest_divisor(n: int, candidates) -> int:
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return 128
+
+
+def _flash_blocks(n_q: int, n_k: int, d: int):
+    """Tuned block sizes: the kernel defaults (128-cubed) run ~5x slower than
+    1024/2048 blocks at SD-1.5's 6144-token spatial attention (measured on
+    v5e: 352ms -> 72ms for (34,8,6144,40)).  Blocks shrink with head_dim to
+    stay inside VMEM (the VAE's single-head d=512 attention OOMs otherwise)."""
+    fa = _flash_fn()
+    if d <= 64:
+        bq, bkm, bk = 1024, 2048, 1024
+    elif d <= 128:
+        bq, bkm, bk = 512, 1024, 512
+    elif d <= 256:
+        bq, bkm, bk = 256, 512, 256
+    else:
+        bq, bkm, bk = 128, 256, 128
+    return fa.BlockSizes(
+        block_q=_largest_divisor(n_q, (bq, 512, 256, 128)),
+        block_k_major=_largest_divisor(n_k, (bkm, 1024, 512, 256, 128)),
+        block_k=_largest_divisor(n_k, (bk, 512, 256, 128)),
+        block_b=1,
+    )
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -67,5 +96,8 @@ def dot_product_attention(
         scale = float(np.asarray(q.shape[-1], dtype=np.float64) ** -0.5)
     if not force_xla and _flash_ok(q, k):
         fa = _flash_fn()
-        return fa.flash_attention(q, k, v, causal=False, sm_scale=scale)
+        return fa.flash_attention(
+            q, k, v, causal=False, sm_scale=scale,
+            block_sizes=_flash_blocks(q.shape[-2], k.shape[-2], q.shape[-1]),
+        )
     return _xla_attention(q, k, v, scale)
