@@ -115,12 +115,22 @@ def load_engine(args, num_steps: int):
     from ..diffusion import make_discretization, make_sampler
 
     strength = args.sdedit_denoise_strength if args.sdedit_denoise_strength > 0 else None
+    extra = {}
+    if SAMPLER_NAMES[args.sampler_name] == "dpmpp_2s_ancestral":
+        # segment long full-res runs into sub-timeout device executions
+        # (axon kills single executions over ~2 min); short runs stay as one
+        # scan (identity padding would waste network evals)
+        rows = 2 * num_steps - 1
+        pixels = args.H * args.W * args.num_keyframes
+        if rows > 24 and pixels > 8 * 256 * 256:
+            extra["segment_size"] = 16
     engine.sampler = make_sampler(
         SAMPLER_NAMES[args.sampler_name],
         discretization=make_discretization(
             "legacy_ddpm", **({"img2img_strength": strength} if strength else {})
         ),
         num_steps=num_steps,
+        **extra,
     )
     return engine, cfg
 
@@ -252,7 +262,8 @@ def run_pipeline(args, reference_mode: bool = False):
         if sample_jit is None:
             # jit once with params/conditioning as ARGUMENTS (closure capture
             # would bake the weights into the HLO as constants); reused across
-            # samples and jobs of identical shape
+            # samples and jobs of identical shape.  With a segmented sampler
+            # the outer jit is skipped — the sampler jits each chunk itself.
             use_prior = x_prior is not None
 
             def _sample(p, cc, ucc, key, prior):
@@ -262,7 +273,10 @@ def run_pipeline(args, reference_mode: bool = False):
                     prior_coefficient=args.prior_coefficient_x,
                 )
 
-            sample_jit = jax.jit(_sample)
+            if getattr(engine.sampler, "segment_size", 0):
+                sample_jit = _sample
+            else:
+                sample_jit = jax.jit(_sample)
             decode_jit = jax.jit(
                 lambda p, z: engine.decode_first_stage(p, z)
             )

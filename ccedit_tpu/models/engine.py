@@ -161,18 +161,31 @@ class CCEditEngine:
 
     def make_denoise_fn(self, params, cond: Dict, uc: Optional[Dict]) -> Callable:
         """Returns denoise_fn(x, sigma_scalar) with CFG folded in; the
-        conditioning concat happens once, outside the sampling scan."""
+        conditioning concat happens once, outside the sampling scan.
+
+        When the sampler runs in segmented mode (its own per-chunk jits), the
+        weights must flow through jit ARGUMENTS, so a (fn, ctx) pair is
+        returned instead — closure capture would serialize ~6GB of params
+        into the HLO as constants."""
         guider = self.guider if uc is not None else IdentityGuider()
         cond_cat = guider.prepare_cond(cond, uc)
-        net = self._network_fn(params["network"])
 
-        def denoise_fn(x, sigma):
+        def denoise_ctx(ctx, x, sigma):
+            net_params, cc = ctx
+            net = self._network_fn(net_params)
             sigma_vec = jnp.broadcast_to(
                 jnp.asarray(sigma, dtype=jnp.float32), (x.shape[0],)
             )
             x2, s2 = guider.expand(x, sigma_vec)
-            out = self.denoiser(net, x2, s2, cond_cat)
+            out = self.denoiser(net, x2, s2, cc)
             return guider.combine(out, sigma_vec)
+
+        ctx = (params["network"], cond_cat)
+        if getattr(self.sampler, "segment_size", 0):
+            return (denoise_ctx, ctx)
+
+        def denoise_fn(x, sigma):
+            return denoise_ctx(ctx, x, sigma)
 
         return denoise_fn
 
