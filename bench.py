@@ -93,7 +93,9 @@ def main():
     cond_cat = guider.prepare_cond(cond, uc)
     # segment the denoise scan into multiple device executions: single calls
     # >~2 min hit the axon per-execution RPC timeout at full resolution
-    segment = int(os.environ.get("BENCH_SEGMENT", 16))
+    rows = 2 * steps - 1
+    default_seg = 16 if rows > 24 else 0  # short runs: identity padding would waste evals
+    segment = int(os.environ.get("BENCH_SEGMENT", default_seg))
     sampler = make_sampler(
         "dpmpp_2s_ancestral",
         discretization=LegacyDDPMDiscretization(),
