@@ -162,6 +162,54 @@ class SpatialRescaler(Embedder):
         return jax.image.resize(x, shape, method=self.method)
 
 
+class LowScaleEncoder(Embedder):
+    """Noise-augmentation conditioning (modules.py:849-941): rescale the
+    input, q-sample it at a random DDPM timestep, return the noised latent;
+    the timestep is emitted separately for vector conditioning (the SD
+    upscaler recipe).  Host supplies rng via prepare_rng for determinism."""
+
+    def __init__(
+        self,
+        max_noise_level: int = 250,
+        factor: float = 0.5,
+        num_timesteps: int = 1000,
+        linear_start: float = 0.00085,
+        linear_end: float = 0.0120,
+        seed: int = 0,
+    ):
+        from ..diffusion.discretization import make_ddpm_alphas_cumprod
+
+        self.max_noise_level = max_noise_level
+        self.factor = factor
+        abar = make_ddpm_alphas_cumprod(num_timesteps, linear_start, linear_end)
+        self.sqrt_abar = np.sqrt(abar).astype(np.float32)
+        self.sqrt_1m_abar = np.sqrt(1.0 - abar).astype(np.float32)
+        self._rng = np.random.default_rng(seed)
+        self.last_noise_level = None
+
+    def prepare(self, value):
+        x = np.asarray(value)
+        b = x.shape[0]
+        t = self._rng.integers(0, self.max_noise_level, size=(b,))
+        noise = self._rng.standard_normal(x.shape).astype(np.float32)
+        self.last_noise_level = t.astype(np.int32)
+        lead = (...,) + (None,) * (x.ndim - 1)
+        noised = (
+            self.sqrt_abar[t][lead] * x + self.sqrt_1m_abar[t][lead] * noise
+        )
+        return noised.astype(np.float32)
+
+    def embed(self, params, prepared):
+        x = jnp.asarray(prepared)
+        if self.factor and self.factor != 1.0:
+            shape = list(x.shape)
+            h_ax, w_ax = x.ndim - 3, x.ndim - 2
+            shape[h_ax] = int(shape[h_ax] * self.factor)
+            shape[w_ax] = int(shape[w_ax] * self.factor)
+            x = jax.image.resize(x, shape, method="bilinear")
+        return x
+
+
 class GaussianEncoder(Embedder):
     """Samples noise shaped like the input (train-time aug)."""
 
@@ -217,6 +265,7 @@ EMBEDDERS = {
     "class": ClassEmbedder,
     "spatial_rescaler": SpatialRescaler,
     "gaussian": GaussianEncoder,
+    "low_scale": LowScaleEncoder,
     "inpainting": InpaintingEncoder,
     "outpainting": OutpaintingEncoder,
 }

@@ -285,6 +285,11 @@ def _build_embedder(emb_cfg: Dict, asset_dir: Optional[str], dtype):
         return E.ConcatTimestepEmbedderND(p.get("outdim", 256))
     if name == "ClassEmbedder":
         return E.ClassEmbedder(p.get("embed_dim", 512), p.get("n_classes", 1000))
+    if name == "LowScaleEncoder":
+        return E.LowScaleEncoder(
+            max_noise_level=p.get("max_noise_level", 250),
+            factor=p.get("factor", 0.5),
+        )
     if name == "SpatialRescaler":
         return E.SpatialRescaler(p.get("factor", 0.5), p.get("method", "bilinear"))
     if name == "InpaintingEncoder":

@@ -183,6 +183,20 @@ class Trainer:
         state = jax.device_put(state, repl)
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
+        # SIGUSR1 -> checkpoint at the next step boundary (the reference's
+        # melk hook, main.py:964-982); host-side flag, signal-safe
+        import signal
+
+        usr1_flag = {"save": False}
+
+        def _on_usr1(signum, frame):
+            usr1_flag["save"] = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGUSR1, _on_usr1)
+        except (ValueError, OSError):
+            prev_handler = None  # non-main thread; hook unavailable
+
         t0 = time.time()
         step = int(state.step)
         try:
@@ -204,8 +218,9 @@ class Trainer:
                         dt = time.time() - t0
                         print(f"step {step}: loss {loss:.4f} ({dt:.1f}s)")
                         self._log(step, {"loss": loss, "seconds": dt})
-                    if step % cfg.ckpt_every == 0:
+                    if step % cfg.ckpt_every == 0 or usr1_flag["save"]:
                         self.save(mngr, state)
+                        usr1_flag["save"] = False
                     if cfg.sample_every and step % cfg.sample_every == 0:
                         try:
                             host_params = jax.device_get(state.params)
@@ -221,6 +236,9 @@ class Trainer:
             self.save(mngr, state)
             mngr.wait_until_finished()
             raise
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGUSR1, prev_handler)
         self.save(mngr, state)
         mngr.wait_until_finished()
         return state
