@@ -186,10 +186,16 @@ class ControlNet3D(UNetModel):
     """Temporal-aware control branch (controlmodel.py:23-190): pseudo-3D
     encoder trunk with per-scale pseudo-3D zero-conv taps (2D zero conv +
     zero temporal conv).  Unused by the shipped CCEdit configs but part of
-    the reference surface.  Input: (B, T, h, w, C) latents + latent-res hint."""
+    the reference surface.  Input: (B, T, h, w, C) latents + latent-res hint.
+
+    ``disable_temporal`` (controlmodel.py:102-190): operate on the *center
+    frame only* — the trunk runs with T=1, where every zero-init temporal twin
+    contributes nothing, matching the reference's module-stripping for
+    2D-initialized checkpoints; taps are emitted as (B, h', w', C) maps."""
 
     hint_channels: int = 4
     control_scales: float = 1.0
+    disable_temporal: bool = False
     encoder_only: bool = True
     unet_type: str = "pseudo-3d"
 
@@ -233,6 +239,14 @@ class ControlNet3D(UNetModel):
     def __call__(self, x, hint, timesteps, context=None, y=None):  # type: ignore[override]
         from .blocks import spatial_temporal
 
+        if self.disable_temporal:
+            t_mid = x.shape[1] // 2
+            x = x[:, t_mid : t_mid + 1]
+            if hint.ndim == 5:
+                hint = hint[:, t_mid : t_mid + 1]
+            else:
+                hint = hint[:, None]
+
         b, t = x.shape[0], x.shape[1]
         emb = self._embed(timesteps, y)
         guided = fold_time(hint)
@@ -255,6 +269,9 @@ class ControlNet3D(UNetModel):
         outs.append(
             spatial_temporal(h, self.middle_block_out, self.middle_block_out_temporal)
         )
+        if self.disable_temporal:
+            # center-frame maps (B, h', w', C)
+            return tuple(o[:, 0] * self.control_scales for o in outs)
         return tuple(o * self.control_scales for o in outs)
 
 

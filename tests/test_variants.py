@@ -227,3 +227,24 @@ class TestRemat:
         g = jax.grad(loss)(pb)
         leaves = jax.tree_util.tree_leaves(g)
         assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
+class TestControlNet3DDisableTemporal:
+    def test_center_frame_taps(self, rng):
+        from ccedit_tpu.modules.controlnet import ControlNet3D
+
+        cn = ControlNet3D(hint_channels=4, disable_temporal=True, **TINY)
+        x = jax.random.normal(rng, (1, 5, 8, 8, 4))
+        hint = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 8, 8, 4))
+        t = jnp.array([10.0])
+        ctx = jnp.ones((1, 7, 16))
+        p = cn.init(jax.random.PRNGKey(0), x, hint, t, ctx)
+        taps = cn.apply(p, x, hint, t, ctx)
+        assert taps[0].shape == (1, 8, 8, 32)  # 2D center-frame maps
+        assert taps[-1].shape == (1, 4, 4, 64)
+        # only the center frame matters: perturbing other frames is a no-op
+        x2 = x.at[:, 0].set(0.0).at[:, -1].set(123.0)
+        hint2 = hint.at[:, 1].set(-5.0)
+        taps2 = cn.apply(p, x2, hint2, t, ctx)
+        for a, b in zip(taps, taps2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
