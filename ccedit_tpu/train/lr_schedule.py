@@ -12,6 +12,25 @@ from typing import List, Sequence
 import numpy as np
 
 
+def tabulate_schedule(sched, num_steps: int, base_lr: float = 1.0):
+    """Turn a host-Python step->multiplier schedule into a traceable optax
+    schedule: precompute the table once on host, index with jnp.take under
+    jit (the schedules above branch on Python ints and cannot trace).
+    Steps past the table clamp to the final value."""
+    import jax.numpy as jnp
+
+    table = jnp.asarray(
+        np.array([base_lr * float(sched(n)) for n in range(num_steps + 1)],
+                 dtype=np.float32)
+    )
+
+    def schedule_fn(step):
+        idx = jnp.clip(jnp.asarray(step, jnp.int32), 0, num_steps)
+        return jnp.take(table, idx)
+
+    return schedule_fn
+
+
 class LambdaWarmUpCosineScheduler:
     """Linear warmup then cosine from lr_max to lr_min over lr_max_decay_steps."""
 

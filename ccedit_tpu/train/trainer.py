@@ -157,8 +157,11 @@ class Trainer:
             if cfg.scale_lr else cfg.base_lr
         )
         if self.lr_schedule is not None:
-            sched = self.lr_schedule
-            lr_fn = lambda step: lr * sched(int(step))
+            # host schedules branch on Python ints and can't trace under the
+            # jitted step — tabulate once and index with jnp.take instead
+            from .lr_schedule import tabulate_schedule
+
+            lr_fn = tabulate_schedule(self.lr_schedule, cfg.max_steps, lr)
         else:
             lr_fn = lr
 

@@ -69,6 +69,60 @@ class TestTrainerSmoke:
         assert int(state2.step) == 3
 
 
+class TestLrSchedules:
+    def test_tabulated_schedule_matches_host_values(self):
+        from ccedit_tpu.train.lr_schedule import LambdaLinearScheduler, tabulate_schedule
+
+        sched = LambdaLinearScheduler(
+            warm_up_steps=[4], f_min=[0.1], f_max=[1.0], f_start=[0.0],
+            cycle_lengths=[20],
+        )
+        fn = tabulate_schedule(sched, num_steps=20, base_lr=2.0)
+        for n in [0, 1, 4, 10, 20]:
+            assert float(fn(n)) == pytest.approx(2.0 * sched(n), rel=1e-6)
+        # past-the-end steps clamp instead of erroring
+        assert float(fn(35)) == pytest.approx(2.0 * sched(20), rel=1e-6)
+        # traceable under jit (the raw schedule is not)
+        assert float(jax.jit(fn)(3)) == pytest.approx(2.0 * sched(3), rel=1e-6)
+
+    def test_trainer_runs_jitted_steps_with_lambda_linear(self, tmp_path):
+        from ccedit_tpu.train.lr_schedule import LambdaLinearScheduler
+
+        engine = make_tiny_engine(freeze="none")
+        ds = SyntheticVideoDataset(n_items=16, num_frames=2, size_hw=(16, 16))
+
+        class HintFix:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                s = ds[i]
+                hint = np.repeat(np.repeat(s["jpg"], 4, axis=1), 4, axis=2)
+                return {
+                    "jpg": s["jpg"],
+                    "txt_emb": np.zeros((7, 16), dtype=np.float32),
+                    "control_hint": hint,
+                }
+
+        loader = DataLoader(HintFix(), batch_size=8, seed=0)
+        plan = make_mesh(jax.devices(), data=8, model=1)
+        sched = LambdaLinearScheduler(
+            warm_up_steps=[2], f_min=[1.0], f_max=[1.0], f_start=[1e-6],
+            cycle_lengths=[100],
+        )
+        trainer = Trainer(
+            engine,
+            TrainerConfig(
+                logdir=str(tmp_path / "run"), max_steps=3, ckpt_every=10,
+                log_every=1, base_lr=1e-4, scale_lr=False, seed=0,
+            ),
+            plan=plan,
+            lr_schedule=sched,
+        )
+        state = trainer.fit(loader, batch_size=8, resume=False)
+        assert int(state.step) == 3
+
+
 class TestValidationSampling:
     def test_log_samples_writes_gifs(self, tmp_path):
         engine = make_tiny_engine(freeze="none")
