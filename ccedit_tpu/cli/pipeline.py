@@ -74,6 +74,9 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--tokenizer_assets", type=str, default="",
                    help="dir with CLIP vocab.json+merges.txt")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--fake_annotator", action="store_true",
+                   help="allow the luminance pseudo-depth stand-in when no "
+                        "annotator backbone weights are configured (debug)")
     return p
 
 
@@ -112,6 +115,12 @@ def load_engine(args, num_steps: int):
         num_steps=num_steps,
     )
     engine.guider = VanillaCFG(scale=args.cfg_scale)
+    if getattr(args, "fake_annotator", False):
+        from ..conditioning.annotators.base import AnnotatorEmbedder
+
+        for spec in engine.conditioner.specs:
+            if isinstance(spec.embedder, AnnotatorEmbedder):
+                spec.embedder.allow_fake = True
     from ..diffusion import make_discretization, make_sampler
 
     strength = args.sdedit_denoise_strength if args.sdedit_denoise_strength > 0 else None
@@ -135,37 +144,114 @@ def load_engine(args, num_steps: int):
     return engine, cfg
 
 
+def _unet_convert_kwargs(engine) -> Dict:
+    net = engine.network
+    return dict(
+        channel_mult=tuple(net.unet.channel_mult),
+        num_res_blocks=net.unet.num_res_blocks,
+        attention_resolutions=tuple(net.unet.attention_resolutions),
+        transformer_depth=net.unet.transformer_depth,
+        model_channels=net.unet.model_channels,
+        use_linear=net.unet.use_linear_in_transformer,
+    )
+
+
+def _convert_ckpt(engine, path: str, base_model: bool = False) -> Dict:
+    """Convert a torch checkpoint into (a partial) engine param tree.
+    base_model=True: a plain SD-1.5 base model — spatial UNet + VAE + CLIP
+    only (model_load_ckpt(..., True), sampling_tv2v.py:209)."""
+    from ..io.torch_convert import convert_sd_checkpoint, load_torch_state_dict
+
+    sd = load_torch_state_dict(path)
+    net = engine.network
+    return convert_sd_checkpoint(
+        sd,
+        video=net.unet.is_video,
+        cfca=net.unet.enable_attention3d_crossframe,
+        has_controlnet=(not base_model) and net.controlnet is not None,
+        has_controlnet_img=(not base_model) and net.controlnet_img is not None,
+        strict=False,
+        **_unet_convert_kwargs(engine),
+    )
+
+
 def load_params(engine, args, example_batch) -> Dict:
     rng = jax.random.PRNGKey(args.seed)
-    params = engine.init_params(rng, example_batch)
+    # fast=True: materialize shapes instead of tracing the full flax init
+    # (an eager SD-scale init takes >1h on this host); checkpoints overlay
+    # the real weights below
+    params = engine.init_params(rng, example_batch, fast=True)
     if args.ckpt_path:
-        from ..io.torch_convert import convert_sd_checkpoint, load_torch_state_dict
-
-        sd = load_torch_state_dict(args.ckpt_path)
-        net = engine.network
-        converted = convert_sd_checkpoint(
-            sd,
-            video=net.unet.is_video,
-            cfca=net.unet.enable_attention3d_crossframe,
-            has_controlnet=net.controlnet is not None,
-            has_controlnet_img=net.controlnet_img is not None,
-            strict=False,
-            channel_mult=tuple(net.unet.channel_mult),
-            num_res_blocks=net.unet.num_res_blocks,
-            attention_resolutions=tuple(net.unet.attention_resolutions),
-            transformer_depth=net.unet.transformer_depth,
-            model_channels=net.unet.model_channels,
-            use_linear=net.unet.use_linear_in_transformer,
-        )
-        if args.lora_path:
-            from ..io.lora import merge_kohya_lora
-
-            converted = merge_kohya_lora(
-                converted, load_torch_state_dict(args.lora_path), args.lora_strength
-            )
+        converted = _convert_ckpt(engine, args.ckpt_path)
         params = _merge_params(params, converted)
         engine._wire_vae_embedders(params["vae"])
     return params
+
+
+def apply_basemodel(engine, params: Dict, path: str) -> Dict:
+    """Overlay a swapped SD base model's spatial weights
+    (sampling_tv2v.py:201-209)."""
+    print(f"--> load a new base model from {path}")
+    converted = _convert_ckpt(engine, path, base_model=True)
+    params = _merge_params(params, converted)
+    engine._wire_vae_embedders(params["vae"])
+    return params
+
+
+def apply_lora(engine, params: Dict, args) -> Dict:
+    """Merge a kohya LoRA into the current weights
+    (sampling_tv2v.py:211-235 + convert_load_lora)."""
+    from ..io.lora import merge_kohya_lora
+    from ..io.torch_convert import load_torch_state_dict
+
+    print(f"--> load a new LoRA model from {args.lora_path}")
+    return merge_kohya_lora(
+        params, load_torch_state_dict(args.lora_path), args.lora_strength
+    )
+
+
+def apply_vae(engine, params: Dict, path: str) -> Dict:
+    """Swap the first-stage VAE (sampling_tv2v.py:237-260)."""
+    from ..io.torch_convert import convert_vae, load_torch_state_dict
+
+    print(f"--> load a new VAE model from {path}")
+    sd = load_torch_state_dict(path)
+    prefix = "first_stage_model." if any(
+        k.startswith("first_stage_model.") for k in sd
+    ) else ""
+    converted = {"vae": convert_vae(sd, prefix=prefix, strict=False)}
+    params = _merge_params(params, converted)
+    engine._wire_vae_embedders(params["vae"])
+    return params
+
+
+def gather_basemodels(args) -> List[str]:
+    """Base-model sweep list (sampling_tv2v.py:182-199)."""
+    assert not (args.basemodel_path and args.basemodel_listpath), (
+        "Only one of basemodel_path and basemodel_listpath can be provided"
+    )
+    if args.basemodel_listpath:
+        return [
+            p.strip()
+            for p in Path(args.basemodel_listpath).read_text().splitlines()
+            if p.strip()
+        ]
+    if args.basemodel_path:
+        return [args.basemodel_path]
+    return ["default"]
+
+
+def make_inpaint_mask(frames: np.ndarray, factor: int = 8) -> np.ndarray:
+    """Latent-resolution inpainting mask from the hint video: generate (1)
+    where the clip is pure white, keep (0) elsewhere — the mask recipe
+    sketched in sampling_tv2v.py:385-407 (area-downsample xf, round, clamp).
+    frames: (T,H,W,3) in [-1,1] -> (1,T,H/f,W/f,1)."""
+    px = (frames[..., 1] >= 1.0 - 1e-6).astype(np.float32)  # green channel
+    t, h, w = px.shape
+    f = factor
+    pooled = px.reshape(t, h // f, f, w // f, f).mean(axis=(2, 4))  # area
+    mask = np.clip(np.round(pooled), 0.0, 1.0)
+    return mask[None, ..., None]
 
 
 def _merge_params(init_tree, loaded_tree):
@@ -209,100 +295,151 @@ def mark_done(save_dir: Path, job_key: str, info: Dict):
 
 
 def run_pipeline(args, reference_mode: bool = False):
-    """The main CLI loop shared by tv2v and tvi2v."""
+    """The main CLI loop shared by tv2v and tvi2v: base-model sweep around a
+    per-job sampling loop (sampling_tv2v.py:201-520)."""
     steps = args.sample_steps
+    sdedit = args.sdedit_denoise_strength > 0
+    if sdedit:
+        assert args.sdedit_denoise_strength <= 1.0
+        assert args.prior_coefficient_x == 0, (
+            "prior_coefficient_x should be 0 when using sdedit_denoise_strength"
+        )
     engine, cfg = load_engine(args, steps)
     jobs = gather_jobs(args)
-    save_dir = Path(args.save_path)
-    save_dir.mkdir(parents=True, exist_ok=True)
+    root_dir = Path(args.save_path)
+    root_dir.mkdir(parents=True, exist_ok=True)
 
     rng = jax.random.PRNGKey(args.seed)
-    params = None
+    base_params = None
     sample_jit = None
     decode_jit = None
 
-    for job in jobs:
-        vid_name = Path(job["video"]).stem
-        job_key = f"{vid_name}::{job['prompt']}"
-        if check_repeat(save_dir, job_key, args.disable_check_repeat):
-            print(f"[skip] {job_key} already done")
-            continue
+    for bm_idx, bm_path in enumerate(gather_basemodels(args)):
+        print(f"-> base model {bm_idx}: {bm_path}")
+        # per-base-model output subdir + ledger (sampling_tv2v.py:262-285)
+        save_dir = root_dir if bm_path == "default" else root_dir / Path(bm_path).stem
+        save_dir.mkdir(parents=True, exist_ok=True)
+        params = None  # (re)built per base model below
 
-        frames = load_video_keyframes(
-            job["video"], args.original_fps, args.target_fps,
-            args.num_keyframes, (args.H, args.W),
-        )  # (T,H,W,3)
-        video = frames[None]  # (1,T,H,W,3)
-        prompt = ", ".join(x for x in (args.add_prompt, job["prompt"]) if x)
+        for job in jobs:
+            vid_name = Path(job["video"]).stem
+            job_key = f"{vid_name}::{job['prompt']}"
+            if check_repeat(save_dir, job_key, args.disable_check_repeat):
+                print(f"[skip] {job_key} already done")
+                continue
 
-        batch = {"txt": [prompt], "control_hint": video}
-        batch_uc = {"txt": [args.negative_prompt], "control_hint": video}
-        if reference_mode:
-            ref = load_image(job.get("reference", args.reference_path), (args.H, args.W))
-            batch["cond_img"] = ref[None]
-            batch_uc["cond_img"] = ref[None]
+            try:
+                frames = load_video_keyframes(
+                    job["video"], args.original_fps, args.target_fps,
+                    args.num_keyframes, (args.H, args.W),
+                )  # (T,H,W,3)
+            except Exception as e:  # per-job fault tolerance (:312-328)
+                print(f"[error] {job_key}: failed to load video: {e}")
+                continue
+            video = frames[None]  # (1,T,H,W,3)
+            prompt = ", ".join(x for x in (args.add_prompt, job["prompt"]) if x)
 
-        if params is None:
-            params = load_params(engine, args, batch)
+            batch = {"txt": [prompt], "control_hint": video}
+            batch_uc = {"txt": [args.negative_prompt], "control_hint": video}
+            if reference_mode:
+                ref = load_image(job.get("reference", args.reference_path), (args.H, args.W))
+                batch["cond_img"] = ref[None]
+                batch_uc["cond_img"] = ref[None]
 
-        c, uc = engine.conditioner.get_unconditional_conditioning(
-            params["conditioner"], batch, batch_uc
-        )
+            if params is None:
+                if base_params is None:
+                    base_params = load_params(engine, args, batch)
+                params = base_params
+                if bm_path != "default":
+                    params = apply_basemodel(engine, params, bm_path)
+                if args.lora_path:
+                    params = apply_lora(engine, params, args)
+                if args.vae_path:
+                    params = apply_vae(engine, params, args.vae_path)
 
-        z_shape = (1, args.num_keyframes, args.H // 8, args.W // 8, 4)
-        x_prior = None
-        if args.prior_coefficient_x > 0 or args.sdedit_denoise_strength > 0:
-            z_video = engine.encode_first_stage(params, jnp.asarray(video))
-            x_prior = z_video
-            if reference_mode and getattr(args, "prior_type", "video") in ("ref", "video_ref"):
-                z_ref = engine.encode_first_stage(params, jnp.asarray(batch["cond_img"]))
-                z_ref = jnp.repeat(z_ref[:, None], args.num_keyframes, axis=1)
-                x_prior = z_ref if args.prior_type == "ref" else 0.5 * (z_video + z_ref)
+            c, uc = engine.conditioner.get_unconditional_conditioning(
+                params["conditioner"], batch, batch_uc
+            )
 
-        if sample_jit is None:
-            # jit once with params/conditioning as ARGUMENTS (closure capture
-            # would bake the weights into the HLO as constants); reused across
-            # samples and jobs of identical shape.  With a segmented sampler
-            # the outer jit is skipped — the sampler jits each chunk itself.
-            use_prior = x_prior is not None
+            f = engine.latent_factor
+            z_shape = (1, args.num_keyframes, args.H // f, args.W // f, 4)
+            x_prior = None
+            if args.prior_coefficient_x != 0 or sdedit or args.inpainting_mode:
+                z_video = engine.encode_first_stage(params, jnp.asarray(video))
+                x_prior = z_video
+                if (
+                    reference_mode and not sdedit
+                    and getattr(args, "prior_type", "video") in ("ref", "video_ref")
+                ):
+                    z_ref = engine.encode_first_stage(params, jnp.asarray(batch["cond_img"]))
+                    z_ref = jnp.repeat(z_ref[:, None], args.num_keyframes, axis=1)
+                    x_prior = z_ref if args.prior_type == "ref" else 0.5 * (z_video + z_ref)
 
-            def _sample(p, cc, ucc, key, prior):
-                return engine.sample(
-                    p, cc, ucc, z_shape, key, num_steps=steps,
-                    x_prior=prior if use_prior else None,
-                    prior_coefficient=args.prior_coefficient_x,
+            inpaint_x0 = inpaint_mask = None
+            if args.inpainting_mode:
+                inpaint_x0 = x_prior if not sdedit else engine.encode_first_stage(
+                    params, jnp.asarray(video)
+                )
+                inpaint_mask = jnp.asarray(make_inpaint_mask(frames, f))
+
+            if sample_jit is None:
+                # jit once with params/conditioning as ARGUMENTS (closure
+                # capture would bake the weights into the HLO as constants);
+                # reused across samples and jobs of identical shape.  With a
+                # segmented sampler the outer jit is skipped — the sampler
+                # jits each chunk itself.
+                use_prior = x_prior is not None
+                use_inpaint = inpaint_x0 is not None
+
+                def _sample(p, cc, ucc, key, prior, ip_x0, ip_mask):
+                    return engine.sample(
+                        p, cc, ucc, z_shape, key, num_steps=steps,
+                        x_prior=prior if use_prior else None,
+                        prior_coefficient=args.prior_coefficient_x,
+                        prior_noise_coefficient=args.prior_coefficient_noise,
+                        mode="sdedit" if sdedit else "full",
+                        inpaint_x0=ip_x0 if use_inpaint else None,
+                        inpaint_mask=ip_mask if use_inpaint else None,
+                    )
+
+                if getattr(engine.sampler, "segment_size", 0):
+                    sample_jit = _sample
+                else:
+                    sample_jit = jax.jit(_sample)
+                decode_jit = jax.jit(
+                    lambda p, z: engine.decode_first_stage(p, z)
                 )
 
-            if getattr(engine.sampler, "segment_size", 0):
-                sample_jit = _sample
-            else:
-                sample_jit = jax.jit(_sample)
-            decode_jit = jax.jit(
-                lambda p, z: engine.decode_first_stage(p, z)
-            )
+            outputs = []
+            t0 = time.time()
+            zeros = jnp.zeros(z_shape)
+            prior_arg = x_prior if x_prior is not None else zeros
+            ip_x0_arg = inpaint_x0 if inpaint_x0 is not None else zeros
+            ip_mask_arg = inpaint_mask if inpaint_mask is not None else zeros
+            try:
+                for s in range(args.num_samples):
+                    rng, k = jax.random.split(rng)
+                    latents = sample_jit(params, c, uc, k, prior_arg,
+                                         ip_x0_arg, ip_mask_arg)
+                    decoded = decode_jit(params, latents)
+                    outputs.append(np.asarray(decoded[0]))
+            except Exception as e:  # per-job fault tolerance (:312-328)
+                print(f"[error] {job_key}: sampling failed: {e}")
+                continue
+            dt = time.time() - t0
 
-        outputs = []
-        t0 = time.time()
-        prior_arg = x_prior if x_prior is not None else jnp.zeros(z_shape)
-        for s in range(args.num_samples):
-            rng, k = jax.random.split(rng)
-            latents = sample_jit(params, c, uc, k, prior_arg)
-            decoded = decode_jit(params, latents)
-            outputs.append(np.asarray(decoded[0]))
-        dt = time.time() - t0
-
-        ext = "." + args.save_type
-        for i, outp in enumerate(outputs):
-            save_video_frames(
-                outp, str(save_dir / f"{vid_name}_{i:02d}{ext}"), fps=args.target_fps
-            )
-        save_video_frames(frames, str(save_dir / f"{vid_name}_original{ext}"),
-                          fps=args.target_fps)
-        hint = c.get("control_hint")
-        if hint is not None and hint.ndim == 5:
-            save_video_frames(np.asarray(hint[0]), str(save_dir / f"{vid_name}_hint{ext}"),
+            ext = "." + args.save_type
+            for i, outp in enumerate(outputs):
+                save_video_frames(
+                    outp, str(save_dir / f"{vid_name}_{i:02d}{ext}"), fps=args.target_fps
+                )
+            save_video_frames(frames, str(save_dir / f"{vid_name}_original{ext}"),
                               fps=args.target_fps)
-        mark_done(save_dir, job_key, {
-            "prompt": job["prompt"], "seconds": dt, "num_samples": args.num_samples,
-        })
-        print(f"[done] {job_key}: {args.num_samples} sample(s) in {dt:.1f}s")
+            hint = c.get("control_hint")
+            if hint is not None and hint.ndim == 5:
+                save_video_frames(np.asarray(hint[0]), str(save_dir / f"{vid_name}_hint{ext}"),
+                                  fps=args.target_fps)
+            mark_done(save_dir, job_key, {
+                "prompt": job["prompt"], "seconds": dt, "num_samples": args.num_samples,
+            })
+            print(f"[done] {job_key}: {args.num_samples} sample(s) in {dt:.1f}s")

@@ -75,26 +75,20 @@ def main():
     save_dir.mkdir(parents=True, exist_ok=True)
 
     z_shape = (1, args.H // 8, args.W // 8, 4)
-    x_prior, prior_coeff, mode, sdedit_steps = None, 0.0, "full", 0
+    x_prior = None
     if args.init_image:
         img = load_image(args.init_image, (args.H, args.W))[None]
         x_prior = engine.encode_first_stage(params, jnp.asarray(img))
-        # img2img: start from noised init at the pruned schedule's top sigma
-        mode = "full"
-        prior_coeff = 1.0  # the pruned discretization handles the strength
 
     for i in range(args.num_samples):
         rng, k = jax.random.split(rng)
         t0 = time.time()
         if x_prior is not None:
-            sig0 = engine.sampler.get_sigmas()[0]
-            noise = jax.random.normal(k, x_prior.shape)
-            # do_img2img: z + noise*sigma0, then sampler rescales
-            # (streamlit_helpers.py:594-607)
-            latents = engine.sampler(
-                engine.make_denoise_fn(params, c, uc),
-                x_prior + noise * float(sig0) / float(np.sqrt(1 + sig0**2)),
-                k,
+            # do_img2img: start from (z + noise*sigma0)/sqrt(1+sigma0^2) on
+            # the strength-pruned schedule (streamlit_helpers.py:594-607);
+            # the sampler's prepare rescale restores z + noise*sigma0
+            latents = engine.sample(
+                params, c, uc, z_shape, k, x_prior=x_prior, mode="sdedit"
             )
         else:
             latents = engine.sample(params, c, uc, z_shape, k)

@@ -344,7 +344,7 @@ def build_loss(cfg: Optional[Dict]) -> Optional[StandardDiffusionLoss]:
 _FREEZE_MAP = {
     "none": "none",
     "spatial": "spatial",
-    "spatial_openlora": "spatial",
+    "spatial_openlora": "spatial_openlora",
 }
 
 
@@ -379,8 +379,18 @@ def build_engine(
             )
 
     freeze = _FREEZE_MAP.get(p.get("freeze_model", "none"), "none")
-    if engine_name in ("VideoDiffusionEngineTV2V", "VideoDiffusionEngineTV2VInterpolate") and freeze == "spatial":
-        freeze = "spatial_tv2v"  # diffusion.py:569-580
+    if engine_name in ("VideoDiffusionEngineTV2V", "VideoDiffusionEngineTV2VInterpolate"):
+        # diffusion.py:569-580: structure controlnet re-frozen, controlnet_img opened
+        if freeze == "spatial":
+            freeze = "spatial_tv2v"
+        elif freeze == "spatial_openlora":
+            freeze = "spatial_tv2v_openlora"
+
+    # honour a YAML guider_config (guiders.py target + scale); the explicit
+    # guider_scale arg only sets the default when the YAML carries none
+    guider_cfg = None
+    if "sampler_config" in p:
+        guider_cfg = _params(p["sampler_config"]).get("guider_config")
 
     return CCEditEngine(
         network=network,
@@ -389,7 +399,7 @@ def build_engine(
         conditioner=conditioner,
         vae=vae,
         loss_fn=loss,
-        guider=VanillaCFG(scale=guider_scale),
+        guider=build_guider(guider_cfg, default_scale=guider_scale),
         scale_factor=p.get("scale_factor", 0.18215),
         input_key=p.get("input_key", "jpg"),
         freeze_policy=freeze,

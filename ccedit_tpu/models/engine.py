@@ -21,6 +21,7 @@ from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..conditioning.conditioner import Conditioner
@@ -81,8 +82,41 @@ class CCEditEngine:
     # ------------------------------------------------------------------
     # init
     # ------------------------------------------------------------------
-    def init_params(self, rng: jax.Array, example_batch: Dict) -> Dict:
-        """Build the full param tree from an example batch (shapes only)."""
+    def init_params(self, rng: jax.Array, example_batch: Dict,
+                    fast: bool = False) -> Dict:
+        """Build the full param tree from an example batch (shapes only).
+
+        fast=True skips the eager flax init trace (which takes >1h for the
+        full SD-scale model on a throttled host / over the device tunnel) by
+        materializing the eval_shape'd tree directly: norm scales as ones,
+        everything else zeros.  Intended for inference, where a checkpoint is
+        overlaid right after (load_params)."""
+        if not fast:
+            return self._init_params_impl(rng, example_batch)
+        shapes = jax.eval_shape(
+            lambda r: self._init_params_impl(r, example_batch), rng
+        )
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(
+            shapes, keep_empty_nodes=False, sep="/"
+        )
+        out = {}
+        for k, s in flat.items():
+            if s is None:  # parameterless embedders report None
+                out[k] = None
+                continue
+            leaf = k.rsplit("/", 1)[-1]
+            fill = jnp.ones if leaf in ("scale", "gamma") else jnp.zeros
+            out[k] = fill(s.shape, s.dtype)
+        params = flax.traverse_util.unflatten_dict(out, sep="/")
+        if self.vae is not None and "vae" in params:
+            # re-wire with concrete arrays (the trace-time wiring closed over
+            # abstract values)
+            self._wire_vae_embedders(params["vae"])
+        return params
+
+    def _init_params_impl(self, rng: jax.Array, example_batch: Dict) -> Dict:
         k_net, k_vae, k_cond, k_x = jax.random.split(rng, 4)
         params: Dict[str, Any] = {}
 
@@ -132,6 +166,12 @@ class CCEditEngine:
     # ------------------------------------------------------------------
     # first stage
     # ------------------------------------------------------------------
+    @property
+    def latent_factor(self) -> int:
+        """Pixel->latent spatial downsampling of the first stage (f=8 for the
+        shipped KL-VAE)."""
+        return 2 ** (len(self.vae.ch_mult) - 1) if self.vae is not None else 1
+
     def encode_first_stage(
         self, params, x, rng: Optional[jax.Array] = None
     ) -> jnp.ndarray:
@@ -199,18 +239,49 @@ class CCEditEngine:
         num_steps: Optional[int] = None,
         x_prior: Optional[jnp.ndarray] = None,
         prior_coefficient: float = 0.0,
-        mode: str = "full",          # full | sdedit
+        prior_noise_coefficient: float = 1.0,
+        mode: str = "full",          # full | sdedit | skip_steps
         sdedit_steps: int = 0,
+        inpaint_x0: Optional[jnp.ndarray] = None,
+        inpaint_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """Draw latents.  x_prior mixing follows sampling_tv2v.py:371-376:
-        randn = (1-c)*randn + c*z_prior."""
+        """Draw latents.
+
+        * mode="full": start from noise; x_prior mixing follows
+          sampling_tv2v.py:371-376: randn = c_x*z_prior + c_noise*randn.
+        * mode="sdedit": x_prior must be the clean video latent; the start is
+          (z + noise*sigma_0)/sqrt(1+sigma_0^2) on the sampler's (img2img-
+          pruned) schedule — sampling_tv2v.py:429-446.  The sampler's own
+          prepare rescale then restores z + noise*sigma_0 exactly.
+        * mode="skip_steps": sampler-level sdedit (sampling.py:270-293) —
+          run only the last ``sdedit_steps`` iterations of the full schedule;
+          x_prior must already be noised.
+        * inpaint_x0/inpaint_mask: per-step mask-blend of the noised clean
+          latent (sampling.py:138-165); mask 1 = generate, 0 = keep x0.
+        """
         k_init, k_loop = jax.random.split(rng)
-        x = jax.random.normal(k_init, tuple(shape), dtype=jnp.float32)
-        if x_prior is not None and prior_coefficient > 0:
-            x = (1.0 - prior_coefficient) * x + prior_coefficient * x_prior
+        noise = jax.random.normal(k_init, tuple(shape), dtype=jnp.float32)
         denoise_fn = self.make_denoise_fn(params, cond, uc)
+
         if mode == "sdedit":
+            assert x_prior is not None, "sdedit needs the clean video latent"
+            sigma0 = float(self.sampler.get_sigmas(num_steps)[0])
+            x = (x_prior + noise * sigma0) / float(np.sqrt(1.0 + sigma0**2))
+        elif mode == "skip_steps":
+            assert x_prior is not None
+            x = x_prior
+        else:
+            x = noise
+            if x_prior is not None and prior_coefficient != 0.0:
+                x = prior_noise_coefficient * x + prior_coefficient * x_prior
+
+        if mode == "skip_steps":
             return self.sampler.sdedit(sdedit_steps, denoise_fn, x, k_loop, num_steps)
+        if inpaint_x0 is not None:
+            assert inpaint_mask is not None
+            return self.sampler.sample_inpainting(
+                denoise_fn, x, k_loop, inpaint_x0, inpaint_mask, num_steps
+            )
         return self.sampler(denoise_fn, x, k_loop, num_steps=num_steps)
 
     # ------------------------------------------------------------------

@@ -40,21 +40,37 @@ def freeze_mask(params, policy: str = "none"):
             return "temporal" in p or "alpha_temporal" in p or "controlnet" in p
 
         return _mask_from_predicate(params, pred)
-    if policy == "spatial_tv2v":
+    if policy == "spatial_openlora":
+        # spatial + LoRA adapter params stay trainable (diffusion.py:529-538)
+        def pred(p: str) -> bool:
+            return (
+                "temporal" in p or "alpha_temporal" in p or "controlnet" in p
+                or "lora" in p
+            )
+
+        return _mask_from_predicate(params, pred)
+    if policy in ("spatial_tv2v", "spatial_tv2v_openlora"):
         # TV2V: structure controlnet frozen, appearance controlnet_img
         # trainable, temporal layers trainable (diffusion.py:569-580)
+        openlora = policy.endswith("openlora")
+
         def pred(p: str) -> bool:
             if "controlnet_img" in p:
                 return True
             if "controlnet" in p:
                 return False
+            if openlora and "lora" in p:
+                return True
             return "temporal" in p or "alpha_temporal" in p
 
         return _mask_from_predicate(params, pred)
     raise ValueError(f"unknown freeze policy {policy!r}")
 
 
-FREEZE_POLICIES = ("none", "all", "spatial", "spatial_tv2v")
+FREEZE_POLICIES = (
+    "none", "all", "spatial", "spatial_openlora", "spatial_tv2v",
+    "spatial_tv2v_openlora",
+)
 
 
 def count_trainable(params, mask) -> Dict[str, int]:

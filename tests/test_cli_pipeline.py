@@ -1,0 +1,197 @@
+"""End-to-end CLI pipeline smoke tests on a tiny engine.
+
+Covers the run_pipeline loop (sampling_tv2v.py:289-520 equivalents): plain
+run, sdedit (noised-video start on a pruned schedule), inpainting mode, the
+resume ledger, per-job fault tolerance, and the basemodel list plumbing —
+paths the reference only ever exercised manually.
+"""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from ccedit_tpu.cli import pipeline
+from ccedit_tpu.conditioning.conditioner import Conditioner, EmbedderSpec
+from ccedit_tpu.conditioning.embedders import Embedder, IdentityEncoder
+from ccedit_tpu.diffusion import (
+    DiscreteDenoiser,
+    LegacyDDPMDiscretization,
+    make_sampler,
+)
+from ccedit_tpu.models.engine import CCEditEngine
+from ccedit_tpu.modules.controlnet import CCEditNetwork, ControlNet2D
+from ccedit_tpu.modules.unet import UNetModel
+from ccedit_tpu.modules.vae import AutoencoderKL
+
+TINY = dict(
+    in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+    attention_resolutions=(2,), channel_mult=(1, 2), num_heads=2,
+    transformer_depth=1, context_dim=16,
+)
+
+
+class TxtStubEmbedder(Embedder):
+    """Deterministic string->tokens embedder standing in for CLIP."""
+
+    def prepare(self, value):
+        if isinstance(value, (list, tuple)):
+            out = np.zeros((len(value), 7, 16), dtype=np.float32)
+            for i, s in enumerate(value):
+                out[i, :, 0] = (hash(s) % 997) / 997.0
+            return out
+        return value
+
+    def embed(self, params, prepared):
+        import jax.numpy as jnp
+
+        return jnp.asarray(prepared)
+
+
+def make_cli_engine():
+    """Tiny TV2V-shaped engine with a *f=8* VAE so the CLI's pixel-space
+    control hints line up with the hint pyramid, exactly like SD-1.5."""
+    unet = UNetModel(unet_type="pseudo-3d", disable_temporal_text_ca=True, **TINY)
+    cn = ControlNet2D(hint_channels=3, **TINY)
+    net = CCEditNetwork(unet=unet, controlnet=cn)
+    conditioner = Conditioner([
+        EmbedderSpec(embedder=TxtStubEmbedder(), input_key="txt", out_key="crossattn"),
+        EmbedderSpec(embedder=IdentityEncoder(), input_key="control_hint"),
+    ])
+    vae = AutoencoderKL(ch=32, ch_mult=(1, 2, 2, 2), num_res_blocks=1, resolution=64)
+    return CCEditEngine(
+        network=net,
+        denoiser=DiscreteDenoiser(scaling="eps", weighting="eps"),
+        sampler=make_sampler(
+            "dpmpp_2s_ancestral", discretization=LegacyDDPMDiscretization(), num_steps=2
+        ),
+        conditioner=conditioner,
+        vae=vae,
+    )
+
+
+@pytest.fixture(scope="module")
+def clip_dir(tmp_path_factory):
+    """A 4-frame 64x64 frame-dir clip with a white square (inpaint region)."""
+    d = tmp_path_factory.mktemp("clip")
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        arr = rs.randint(0, 200, size=(64, 64, 3)).astype(np.uint8)
+        arr[16:32, 16:32] = 255  # pure white block -> inpaint mask
+        Image.fromarray(arr).save(d / f"frame_{i:03d}.png")
+    return str(d)
+
+
+def make_args(clip_dir, save_path, **over):
+    args = pipeline.base_parser().parse_args([])
+    args.video_path = clip_dir
+    args.save_path = save_path
+    args.prompt = "a test prompt"
+    args.H = args.W = 64
+    args.num_keyframes = 3
+    args.sample_steps = 2
+    args.num_samples = 1
+    args.save_type = "gif"
+    args.seed = 0
+    for k, v in over.items():
+        setattr(args, k, v)
+    return args
+
+
+def run_with_tiny_engine(monkeypatch, args):
+    real_load_engine = pipeline.load_engine
+
+    def fake_load_engine(a, num_steps):
+        engine = make_cli_engine()
+        from ccedit_tpu.diffusion import make_discretization
+
+        strength = a.sdedit_denoise_strength if a.sdedit_denoise_strength > 0 else None
+        engine.sampler = make_sampler(
+            pipeline.SAMPLER_NAMES[a.sampler_name],
+            discretization=make_discretization(
+                "legacy_ddpm", **({"img2img_strength": strength} if strength else {})
+            ),
+            num_steps=num_steps,
+        )
+        return engine, {}
+
+    monkeypatch.setattr(pipeline, "load_engine", fake_load_engine)
+    pipeline.run_pipeline(args)
+
+
+class TestCliPipeline:
+    def test_plain_run_writes_outputs_and_ledger(self, monkeypatch, clip_dir, tmp_path):
+        args = make_args(clip_dir, str(tmp_path / "out"))
+        run_with_tiny_engine(monkeypatch, args)
+        out = tmp_path / "out"
+        gifs = sorted(p.name for p in out.glob("*.gif"))
+        assert any("_00" in g for g in gifs)          # sample
+        assert any("_original" in g for g in gifs)    # input copy
+        ledger = json.loads((out / "log_info.json").read_text())
+        assert len(ledger) == 1
+
+        # second run skips via the ledger (sampling_tv2v.py:262-305)
+        run_with_tiny_engine(monkeypatch, args)
+        assert len(json.loads((out / "log_info.json").read_text())) == 1
+
+    def test_sdedit_run(self, monkeypatch, clip_dir, tmp_path):
+        args = make_args(clip_dir, str(tmp_path / "out"),
+                         sdedit_denoise_strength=0.5)
+        run_with_tiny_engine(monkeypatch, args)
+        assert (tmp_path / "out" / "log_info.json").exists()
+
+    def test_sdedit_rejects_prior_coefficient(self, monkeypatch, clip_dir, tmp_path):
+        args = make_args(clip_dir, str(tmp_path / "out"),
+                         sdedit_denoise_strength=0.5, prior_coefficient_x=0.1)
+        with pytest.raises(AssertionError):
+            run_with_tiny_engine(monkeypatch, args)
+
+    def test_inpainting_run(self, monkeypatch, clip_dir, tmp_path):
+        args = make_args(clip_dir, str(tmp_path / "out"), inpainting_mode=True)
+        run_with_tiny_engine(monkeypatch, args)
+        assert (tmp_path / "out" / "log_info.json").exists()
+
+    def test_prior_mix_run(self, monkeypatch, clip_dir, tmp_path):
+        args = make_args(clip_dir, str(tmp_path / "out"),
+                         prior_coefficient_x=0.03, prior_coefficient_noise=0.9)
+        run_with_tiny_engine(monkeypatch, args)
+        assert (tmp_path / "out" / "log_info.json").exists()
+
+    def test_bad_video_is_skipped_not_fatal(self, monkeypatch, clip_dir, tmp_path):
+        """Per-job fault tolerance (sampling_tv2v.py:312-328)."""
+        listfile = tmp_path / "vids.txt"
+        promptfile = tmp_path / "prompts.txt"
+        listfile.write_text(f"{tmp_path}/missing_dir_xyz\n{clip_dir}\n")
+        promptfile.write_text("bad\ngood\n")
+        args = make_args(clip_dir, str(tmp_path / "out"))
+        args.video_listpath = str(listfile)
+        args.prompt_listpath = str(promptfile)
+        run_with_tiny_engine(monkeypatch, args)
+        ledger = json.loads((tmp_path / "out" / "log_info.json").read_text())
+        assert len(ledger) == 1  # only the good clip completed
+
+
+class TestPipelineUnits:
+    def test_gather_basemodels(self, tmp_path):
+        args = pipeline.base_parser().parse_args([])
+        assert pipeline.gather_basemodels(args) == ["default"]
+        args.basemodel_path = "/x/model.safetensors"
+        assert pipeline.gather_basemodels(args) == ["/x/model.safetensors"]
+        args.basemodel_path = ""
+        lst = tmp_path / "bm.txt"
+        lst.write_text("/a/one.ckpt\n\n/b/two.ckpt\n")
+        args.basemodel_listpath = str(lst)
+        assert pipeline.gather_basemodels(args) == ["/a/one.ckpt", "/b/two.ckpt"]
+        args.basemodel_path = "/x"
+        with pytest.raises(AssertionError):
+            pipeline.gather_basemodels(args)
+
+    def test_make_inpaint_mask(self):
+        frames = -np.ones((2, 16, 16, 3), dtype=np.float32)
+        frames[:, 0:8, 0:8] = 1.0  # white block == generate region
+        mask = pipeline.make_inpaint_mask(frames, factor=8)
+        assert mask.shape == (1, 2, 2, 2, 1)
+        assert mask[0, 0, 0, 0, 0] == 1.0
+        assert mask[0, 0, 1, 1, 0] == 0.0

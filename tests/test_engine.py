@@ -115,6 +115,93 @@ class TestEngine:
         b = run(jax.random.PRNGKey(2))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_sdedit_start_math(self, engine_and_params):
+        """sdedit must start the loop from z + noise*sigma0 on the pruned
+        schedule (sampling_tv2v.py:429-446): engine.sample passes
+        (z + noise*sigma0)/sqrt(1+sigma0^2) to the sampler, whose prepare
+        rescale restores z + noise*sigma0 exactly."""
+        from ccedit_tpu.diffusion.discretization import (
+            Img2ImgDiscretizationWrapper, LegacyDDPMDiscretization,
+        )
+        from ccedit_tpu.diffusion.samplers import make_sampler
+
+        engine, params = engine_and_params
+        old_sampler = engine.sampler
+        disc = Img2ImgDiscretizationWrapper(
+            discretization=LegacyDDPMDiscretization(), strength=0.5
+        )
+        captured = {}
+
+        class Recording:
+            def get_sigmas(self, n=None):
+                return disc(4, do_append_zero=True)
+
+            def __call__(self, denoise_fn, x, rng, num_steps=None):
+                captured["x"] = x
+                return x
+
+            def prepare_x(self, x, sigmas):
+                return x
+
+        engine.sampler = Recording()
+        try:
+            shape = (1, 2, 8, 8, 4)
+            z = jnp.full(shape, 0.3)
+            batch = example_batch()
+            c, uc = engine.conditioner.get_unconditional_conditioning(
+                params["conditioner"], batch, batch
+            )
+            rng = jax.random.PRNGKey(7)
+            engine.sample(params, c, uc, shape, rng, num_steps=4,
+                          x_prior=z, mode="sdedit")
+            # reproduce the noise the engine drew
+            k_init, _ = jax.random.split(rng)
+            noise = jax.random.normal(k_init, shape)
+            sigma0 = float(disc(4, do_append_zero=True)[0])
+            expected = (z + noise * sigma0) / np.sqrt(1.0 + sigma0**2)
+            np.testing.assert_allclose(
+                np.asarray(captured["x"]), np.asarray(expected), rtol=1e-6
+            )
+            # pruned schedule: strength 0.5 of 5 sigmas -> 2 kept
+            assert len(disc(4, do_append_zero=True)) == 2
+        finally:
+            engine.sampler = old_sampler
+
+    def test_prior_mixing_matches_reference(self, engine_and_params):
+        """x-prior init: randn = c_x*prior + c_noise*randn
+        (sampling_tv2v.py:371-376) — c_noise defaults to 1, NOT 1-c_x."""
+        engine, params = engine_and_params
+        captured = {}
+        old_sampler = engine.sampler
+
+        class Recording:
+            def get_sigmas(self, n=None):
+                return old_sampler.get_sigmas(n)
+
+            def __call__(self, denoise_fn, x, rng, num_steps=None):
+                captured["x"] = x
+                return x
+
+        engine.sampler = Recording()
+        try:
+            shape = (1, 2, 8, 8, 4)
+            prior = jnp.full(shape, 2.0)
+            batch = example_batch()
+            c, uc = engine.conditioner.get_unconditional_conditioning(
+                params["conditioner"], batch, batch
+            )
+            rng = jax.random.PRNGKey(11)
+            engine.sample(params, c, uc, shape, rng, num_steps=4,
+                          x_prior=prior, prior_coefficient=0.03)
+            k_init, _ = jax.random.split(rng)
+            noise = jax.random.normal(k_init, shape)
+            expected = 1.0 * noise + 0.03 * prior
+            np.testing.assert_allclose(
+                np.asarray(captured["x"]), np.asarray(expected), rtol=1e-6
+            )
+        finally:
+            engine.sampler = old_sampler
+
     def test_train_step_runs_and_updates_only_trainable(self):
         engine = make_tiny_engine(freeze="spatial_tv2v")
         params = engine.init_params(jax.random.PRNGKey(0), example_batch())
@@ -172,6 +259,29 @@ class TestFreezeMask:
         c_tv2v = count_trainable(params["network"], m_tv2v)
         # spatial trains controlnet too; tv2v freezes it -> fewer trainables
         assert 0 < c_tv2v["trainable"] < c_spatial["trainable"] < c_spatial["total"]
+
+    def test_openlora_policies_train_lora_params(self):
+        from ccedit_tpu.train.freeze import freeze_mask
+
+        params = {
+            "unet": {
+                "block_spatial": {"kernel": np.zeros(1)},
+                "block_temporal": {"kernel": np.zeros(1)},
+                "attn_lora_down": {"kernel": np.zeros(1)},
+            },
+            "controlnet": {"conv": {"kernel": np.zeros(1)}},
+            "controlnet_img": {"conv": {"kernel": np.zeros(1)}},
+        }
+        m = freeze_mask(params, "spatial_openlora")
+        assert m["unet"]["attn_lora_down"]["kernel"]
+        assert m["unet"]["block_temporal"]["kernel"]
+        assert not m["unet"]["block_spatial"]["kernel"]
+        assert m["controlnet"]["conv"]["kernel"]  # spatial trains controlnets
+
+        m = freeze_mask(params, "spatial_tv2v_openlora")
+        assert m["unet"]["attn_lora_down"]["kernel"]
+        assert not m["controlnet"]["conv"]["kernel"]  # structure branch frozen
+        assert m["controlnet_img"]["conv"]["kernel"]  # appearance branch open
 
 
 class TestEma:
