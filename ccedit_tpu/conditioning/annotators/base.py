@@ -81,10 +81,12 @@ class AnnotatorEmbedder(Embedder):
         kind: str,
         backbone: Optional[Callable] = None,
         backbone_params: Any = None,
+        allow_fake: bool = False,
     ):
         self.kind = kind
         self.backbone = backbone
         self.backbone_params = backbone_params
+        self.allow_fake = allow_fake
 
     def init_params(self, rng, prepared):
         return None  # frozen; real backbone params are loaded, not initialized
@@ -134,6 +136,14 @@ class AnnotatorEmbedder(Embedder):
 
     def _run_backbone(self, frames):
         if self.backbone is None:
+            if not self.allow_fake:
+                raise RuntimeError(
+                    f"annotator {self.kind!r} has no backbone weights loaded. "
+                    "Pass ckpt_path in the embedder YAML (e.g. "
+                    "dpt_hybrid-midas-501f0c75.pt) or opt into the luminance "
+                    "pseudo-depth stand-in with --fake_annotator / "
+                    "params={'fake_annotator': True} (NOT MiDaS; debug only)."
+                )
             return gradient_pseudo_depth(frames)
         return self.backbone(self.backbone_params, frames)
 
@@ -154,6 +164,7 @@ def build_annotator(target_name: str, params: Dict) -> AnnotatorEmbedder:
     kind = _KIND_MAP[target_name]
     if target_name == "LineartEncoder" and not params.get("lineart_standard", True):
         kind = "lineart_model"
+    backbone = None
     backbone_params = None
     ckpt = params.get("ckpt_path")
     if ckpt:
@@ -168,4 +179,17 @@ def build_annotator(target_name: str, params: Dict) -> AnnotatorEmbedder:
             from .hed import convert_hed
 
             backbone_params = convert_hed(sd)
-    return AnnotatorEmbedder(kind, backbone_params=backbone_params)
+        elif kind == "depth_midas":
+            from .dpt_midas import DPTHybrid, convert_dpt_midas, detect_depth_midas
+
+            backbone_params = convert_dpt_midas(sd)
+            model = DPTHybrid()
+
+            def backbone(p, frames, _m=model):
+                return detect_depth_midas(p, frames, _m)
+    return AnnotatorEmbedder(
+        kind,
+        backbone=backbone,
+        backbone_params=backbone_params,
+        allow_fake=bool(params.get("fake_annotator", False)),
+    )

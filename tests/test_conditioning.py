@@ -104,7 +104,9 @@ class TestAnnotators:
         assert float(out.max()) <= 1.0 and float(out.min()) >= -1.0
 
     def test_gradient_pseudo_depth_annotator_runs(self):
-        ann = AnnotatorEmbedder("depth_midas")
+        # pseudo-depth is opt-in (allow_fake) since the real DPT backbone
+        # landed; see test_depth_parity.TestAnnotatorGating for the gating
+        ann = AnnotatorEmbedder("depth_midas", allow_fake=True)
         x = jnp.asarray(np.random.RandomState(2).rand(1, 2, 16, 16, 3) * 2 - 1)
         out = ann.embed(None, x)
         assert out.shape == (1, 2, 16, 16, 3)

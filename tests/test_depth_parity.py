@@ -1,0 +1,130 @@
+"""Parity tests for the DPT-Hybrid (MiDaS) depth backbone against the
+HuggingFace torch implementation (transformers DPTForDepthEstimation with
+is_hybrid=True — the exact architecture of Intel/dpt-hybrid-midas, itself the
+converted dpt_hybrid-midas-501f0c75.pt the reference's DepthMidasEncoder
+loads).  Random converted weights, tiny replica config."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from reference_compat import randomize_state_dict  # noqa: E402
+
+
+def make_tiny_hf_dpt():
+    from transformers import DPTConfig, DPTForDepthEstimation
+
+    bit_cfg = dict(
+        model_type="bit", embedding_size=16, hidden_sizes=[16, 32, 64],
+        depths=[1, 1, 1], layer_type="bottleneck", num_groups=4,
+        global_padding="SAME", embedding_dynamic_padding=True,
+        out_features=["stage1", "stage2", "stage3"], num_channels=3,
+    )
+    cfg = DPTConfig(
+        is_hybrid=True, backbone_config=bit_cfg,
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, backbone_out_indices=[0, 1, 0, 1],
+        neck_ignore_stages=[0, 1], neck_hidden_sizes=[16, 32, 32, 32],
+        reassemble_factors=[4, 2, 1, 0.5], fusion_hidden_size=16,
+        image_size=64, patch_size=16, readout_type="project",
+        backbone_featmap_shape=[1, 64, 4, 4],
+    )
+    return DPTForDepthEstimation(cfg).eval()
+
+
+def make_tiny_flax_dpt():
+    from ccedit_tpu.conditioning.annotators.dpt_midas import DPTHybrid
+
+    return DPTHybrid(
+        embedding_size=16, bit_hidden=(16, 32, 64), bit_depths=(1, 1, 1),
+        num_groups=4, hidden_size=32, num_layers=2, num_heads=2,
+        mlp_dim=64, vit_taps=(0, 1), fusion_hidden=16, pos_grid=4,
+    )
+
+
+class TestDPTHybridParity:
+    def test_forward_matches_hf(self):
+        import jax.numpy as jnp
+
+        from ccedit_tpu.conditioning.annotators.dpt_midas import convert_dpt_midas
+
+        tm = make_tiny_hf_dpt()
+        randomize_state_dict(tm, seed=50, scale=0.08)
+
+        x = torch.randn(2, 3, 64, 64, generator=torch.Generator().manual_seed(51))
+        with torch.no_grad():
+            ref = tm(x).predicted_depth.numpy()  # (2, 64, 64)
+
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        params = convert_dpt_midas(sd, bit_depths=(1, 1, 1), num_layers=2)
+        jm = make_tiny_flax_dpt()
+        out = jm.apply({"params": params},
+                       jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4, rtol=1e-3)
+
+    def test_non_square_input(self):
+        """MiDaS runs at arbitrary /32 sizes via pos-embed resize (the CCEdit
+        512x768 case); check shape handling off the pretraining grid."""
+        import jax
+        import jax.numpy as jnp
+
+        jm = make_tiny_flax_dpt()
+        x = jnp.zeros((1, 64, 96, 3))
+        params = jm.init(jax.random.PRNGKey(0), x)["params"]
+        out = jm.apply({"params": params}, x)
+        assert out.shape == (1, 64, 96)
+
+    def test_midas_official_naming_roundtrip(self):
+        """The production converter accepts the official MiDaS checkpoint
+        naming (pretrained.model.* / scratch.*) and yields identical params
+        to the HF-naming path."""
+        import jax
+
+        from ccedit_tpu.conditioning.annotators.dpt_midas import (
+            _hf_to_midas_names, convert_dpt_midas,
+        )
+
+        tm = make_tiny_hf_dpt()
+        randomize_state_dict(tm, seed=52, scale=0.08)
+        sd_hf = {k: v.numpy() for k, v in tm.state_dict().items()}
+        sd_midas = _hf_to_midas_names(sd_hf)
+        p1 = convert_dpt_midas(sd_hf, bit_depths=(1, 1, 1), num_layers=2)
+        p2 = convert_dpt_midas(sd_midas, bit_depths=(1, 1, 1), num_layers=2)
+        jax.tree_util.tree_map(np.testing.assert_array_equal, p1, p2)
+
+
+class TestBilinearResizeParity:
+    @pytest.mark.parametrize("align", [True, False])
+    @pytest.mark.parametrize("shape", [(4, 4, 8, 8), (7, 5, 3, 9), (8, 8, 4, 4)])
+    def test_matches_torch_interpolate(self, align, shape):
+        import jax.numpy as jnp
+
+        from ccedit_tpu.conditioning.annotators.dpt_midas import resize_bilinear
+
+        h, w, h2, w2 = shape
+        x = torch.randn(2, 3, h, w, generator=torch.Generator().manual_seed(1))
+        ref = torch.nn.functional.interpolate(
+            x, size=(h2, w2), mode="bilinear", align_corners=align
+        ).numpy()
+        out = resize_bilinear(
+            jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), (h2, w2), align
+        )
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), ref, atol=1e-6, rtol=1e-5
+        )
+
+
+class TestAnnotatorGating:
+    def test_missing_backbone_raises_without_escape_hatch(self):
+        import numpy as onp
+
+        from ccedit_tpu.conditioning.annotators.base import AnnotatorEmbedder
+
+        emb = AnnotatorEmbedder("depth_midas")
+        video = onp.zeros((1, 2, 64, 64, 3), dtype=onp.float32)
+        with pytest.raises(RuntimeError, match="fake_annotator"):
+            emb.embed(None, video)
+        emb_fake = AnnotatorEmbedder("depth_midas", allow_fake=True)
+        out = emb_fake.embed(None, video)
+        assert out.shape == (1, 2, 64, 64, 3)
