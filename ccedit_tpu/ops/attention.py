@@ -80,6 +80,67 @@ def _flash_blocks(n_q: int, n_k: int, d: int):
     )
 
 
+# ---------------------------------------------------------------------------
+# mesh context: multi-chip clip sharding
+# ---------------------------------------------------------------------------
+# GSPMD cannot partition a pallas_call, so under clip-sharded sampling the
+# flash kernel must be wrapped in shard_map: either the attention batch (the
+# folded frame axis) or the query-token axis (clip height sharding) is split
+# over the mesh's data axis, k/v replicated.  Set via `mesh_context`.
+
+_MESH_CTX = {"mesh": None, "axis": "data"}
+
+
+class mesh_context:
+    """with mesh_context(plan.mesh): ... — route big attentions through
+    shard_map so the Pallas kernel composes with clip sharding."""
+
+    def __init__(self, mesh, axis: str = "data"):
+        self.mesh = mesh
+        self.axis = axis
+
+    def __enter__(self):
+        self._prev = dict(_MESH_CTX)
+        _MESH_CTX["mesh"] = self.mesh
+        _MESH_CTX["axis"] = self.axis
+        return self
+
+    def __exit__(self, *exc):
+        _MESH_CTX.update(self._prev)
+        return False
+
+
+def _attention_kernel(q, k, v, scale, force_xla):
+    if not force_xla and _flash_ok(q, k):
+        fa = _flash_fn()
+        return fa.flash_attention(
+            q, k, v, causal=False, sm_scale=scale,
+            block_sizes=_flash_blocks(q.shape[-2], k.shape[-2], q.shape[-1]),
+        )
+    return _xla_attention(q, k, v, scale)
+
+
+def _sharded_attention(q, k, v, scale, force_xla, mesh, axis):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+    kern = lambda qq, kk, vv: _attention_kernel(qq, kk, vv, scale, force_xla)
+    if q.shape[0] % n == 0:
+        # frame sharding: attention batch is the folded (b t) axis
+        spec = P(axis, None, None, None)
+        fn = shard_map(kern, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec)
+        return fn(q, k, v)
+    if q.shape[2] % n == 0 and q.shape[2] // n >= 128:
+        # token sharding (clip height axis): q rows local, k/v gathered
+        qspec = P(None, None, axis, None)
+        fn = shard_map(kern, mesh=mesh, in_specs=(qspec, P(), P()),
+                       out_specs=qspec)
+        return fn(q, k, v)
+    return _attention_kernel(q, k, v, scale, force_xla)
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -94,10 +155,8 @@ def dot_product_attention(
     """
     if scale is None:
         scale = float(np.asarray(q.shape[-1], dtype=np.float64) ** -0.5)
-    if not force_xla and _flash_ok(q, k):
-        fa = _flash_fn()
-        return fa.flash_attention(
-            q, k, v, causal=False, sm_scale=scale,
-            block_sizes=_flash_blocks(q.shape[-2], k.shape[-2], q.shape[-1]),
-        )
-    return _xla_attention(q, k, v, scale)
+    mesh = _MESH_CTX["mesh"]
+    if mesh is not None and q.shape[-2] >= 512:
+        return _sharded_attention(q, k, v, scale, force_xla, mesh,
+                                  _MESH_CTX["axis"])
+    return _attention_kernel(q, k, v, scale, force_xla)

@@ -73,3 +73,92 @@ class TestDataParallelSampling:
         np.testing.assert_allclose(
             np.asarray(plain), np.asarray(sharded), rtol=2e-4, atol=2e-4
         )
+
+
+class TestMeshContextAttention:
+    """The Pallas flash kernel can't be partitioned by GSPMD; under clip
+    sharding it runs inside shard_map.  Verify the shard_map routing returns
+    bit-identical results to the plain kernel (CPU mesh exercises the
+    routing; the flash kernel itself is TPU-gated)."""
+
+    def test_batch_sharded_matches_plain(self):
+        from ccedit_tpu.ops.attention import dot_product_attention, mesh_context
+
+        plan = make_mesh(jax.devices(), data=8, model=1)
+        rs = np.random.RandomState(0)
+        q = jnp.asarray(rs.randn(8, 2, 512, 16).astype(np.float32))
+        k = jnp.asarray(rs.randn(8, 2, 512, 16).astype(np.float32))
+        v = jnp.asarray(rs.randn(8, 2, 512, 16).astype(np.float32))
+        plain = dot_product_attention(q, k, v)
+        with mesh_context(plan.mesh):
+            sharded = jax.jit(dot_product_attention)(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(plain), np.asarray(sharded), rtol=1e-5, atol=1e-5
+        )
+
+    def test_token_sharded_matches_plain(self):
+        from ccedit_tpu.ops.attention import dot_product_attention, mesh_context
+
+        plan = make_mesh(jax.devices(), data=8, model=1)
+        rs = np.random.RandomState(1)
+        q = jnp.asarray(rs.randn(3, 2, 1024, 16).astype(np.float32))
+        k = jnp.asarray(rs.randn(3, 2, 1024, 16).astype(np.float32))
+        v = jnp.asarray(rs.randn(3, 2, 1024, 16).astype(np.float32))
+        plain = dot_product_attention(q, k, v)
+        with mesh_context(plan.mesh):
+            sharded = jax.jit(dot_product_attention)(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(plain), np.asarray(sharded), rtol=1e-5, atol=1e-5
+        )
+
+
+class TestSingleClipFrameSharding:
+    """SURVEY §2.7/§5: ONE clip sharded across 8 devices by splitting its
+    frame axis — the spatial ops are frame-independent so only the temporal
+    ops (1D convs, T-token attention) cost collectives.  The torch reference
+    cannot parallelize a single clip at all."""
+
+    def _setup(self, t):
+        engine = make_tiny_engine()
+        params = engine.init_params(jax.random.PRNGKey(0), example_batch())
+        batch = example_batch(b=1, t=t)
+        c, uc = engine.conditioner.get_unconditional_conditioning(
+            params["conditioner"], batch, batch
+        )
+        return engine, params, c, uc
+
+    def test_frame_sharded_matches_single_device(self):
+        from ccedit_tpu.parallel.sampling import make_frame_sharded_sample
+
+        t = 16  # divides the 8-device mesh evenly
+        engine, params, c, uc = self._setup(t)
+        z_shape = (1, t, 8, 8, 4)
+        plain = engine.sample(params, c, uc, z_shape, jax.random.PRNGKey(3))
+
+        plan = make_mesh(jax.devices(), data=8, model=1)
+        fn = make_frame_sharded_sample(engine, plan, z_shape, num_steps=None)
+        sharded = fn(params, c, uc, jax.random.PRNGKey(3))
+        assert sharded.shape == z_shape
+        # the clip really is split across all 8 devices
+        shard_devices = {s.device for s in sharded.addressable_shards}
+        assert len(shard_devices) == 8
+        np.testing.assert_allclose(
+            np.asarray(plain), np.asarray(sharded), rtol=2e-4, atol=2e-4
+        )
+
+    def test_frame_sharded_uneven_frames(self):
+        """T=17 (the production clip length) does not divide 8 — GSPMD pads
+        internally; results must still match the single-device program."""
+        from ccedit_tpu.parallel.sampling import make_frame_sharded_sample
+
+        t = 17
+        engine, params, c, uc = self._setup(t)
+        z_shape = (1, t, 8, 8, 4)
+        plain = engine.sample(params, c, uc, z_shape, jax.random.PRNGKey(4))
+
+        plan = make_mesh(jax.devices(), data=8, model=1)
+        fn = make_frame_sharded_sample(engine, plan, z_shape, num_steps=None)
+        sharded = fn(params, c, uc, jax.random.PRNGKey(4))
+        np.testing.assert_allclose(
+            np.asarray(plain), np.asarray(sharded), rtol=2e-4, atol=2e-4
+        )
