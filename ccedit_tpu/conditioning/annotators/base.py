@@ -23,6 +23,7 @@ from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..embedders import Embedder
 
@@ -82,11 +83,13 @@ class AnnotatorEmbedder(Embedder):
         backbone: Optional[Callable] = None,
         backbone_params: Any = None,
         allow_fake: bool = False,
+        safe: bool = False,
     ):
         self.kind = kind
         self.backbone = backbone
         self.backbone_params = backbone_params
         self.allow_fake = allow_fake
+        self.safe = safe  # safe_step quantization (modules.py:1433-1434)
 
     def init_params(self, rng, prepared):
         return None  # frozen; real backbone params are loaded, not initialized
@@ -125,7 +128,45 @@ class AnnotatorEmbedder(Embedder):
                 "HED needs converted ControlNetHED_Apache2 weights"
             )
             edge = detect_hed(self.backbone_params, frames, HEDNetwork())
-            out = jnp.repeat(edge * 2.0 - 1.0, 3, axis=-1)
+            if self.kind == "scribble_hed":
+                # complete the reference's abandoned ScribbleHEDEncoder
+                # (modules.py:1604-1608 raises mid-forward): scribble NMS on
+                # the fused HED edge, then the standard 1-x -> [-1,1] mapping
+                from .scribble import scribble_postprocess
+
+                scrib = scribble_postprocess(jax.device_get(edge[..., 0]))
+                edge = jnp.asarray(scrib)[..., None]
+            out = jnp.repeat((1.0 - edge) * 2.0 - 1.0, 3, axis=-1)
+        elif self.kind in ("softedge_pidinet", "scribble_pidinet"):
+            from .pidinet import PiDiNet, detect_pidinet, safe_step
+
+            assert self.backbone_params is not None, (
+                "PiDiNet needs converted table5_pidinet weights"
+            )
+            # modules.py:1427-1437: input 0..1, RGB->BGR flip, fused sigmoid
+            bgr01 = ((frames + 1.0) * 0.5)[..., ::-1]
+            edge = detect_pidinet(self.backbone_params, bgr01, PiDiNet())
+            if self.kind == "scribble_pidinet":
+                # modules.py:1678-1690: nms + blur + binarize on host
+                from .scribble import scribble_postprocess
+
+                scrib = scribble_postprocess(jax.device_get(edge[..., 0]))
+                edge = jnp.asarray(scrib)[..., None]
+            else:
+                edge = jnp.clip(edge, 0.0, 1.0)
+                if self.safe:
+                    edge = safe_step(edge)
+            out = jnp.repeat((1.0 - edge) * 2.0 - 1.0, 3, axis=-1)
+        elif self.kind == "openpose":
+            from .openpose import BodyEstimator, detect_openpose
+
+            assert self.backbone_params is not None, (
+                "openpose needs converted body_pose_model.pth weights"
+            )
+            est = self._openpose_est = getattr(
+                self, "_openpose_est", None
+            ) or BodyEstimator(self.backbone_params)
+            out = jnp.asarray(detect_openpose(None, np.asarray(frames), est))
         else:
             raise NotImplementedError(
                 f"annotator {self.kind!r}: backbone not yet implemented on TPU; "
@@ -187,9 +228,29 @@ def build_annotator(target_name: str, params: Dict) -> AnnotatorEmbedder:
 
             def backbone(p, frames, _m=model):
                 return detect_depth_midas(p, frames, _m)
+        elif kind == "depth_zoe":
+            from .zoedepth import ZoeDepthN, convert_zoedepth, detect_depth_zoe
+
+            backbone_params = convert_zoedepth(sd)
+            zmodel = ZoeDepthN()
+
+            def backbone(p, frames, _m=zmodel):
+                return detect_depth_zoe(p, frames, _m)
+        elif kind in ("softedge_pidinet", "scribble_pidinet"):
+            from .pidinet import convert_pidinet
+
+            if "state_dict" in sd:  # table5_pidinet.pth wraps a state_dict
+                sd = sd["state_dict"]
+            sd = {k.replace("module.", ""): v for k, v in sd.items()}
+            backbone_params = convert_pidinet(sd)
+        elif kind == "openpose":
+            from .openpose import convert_bodypose
+
+            backbone_params = convert_bodypose(sd)
     return AnnotatorEmbedder(
         kind,
         backbone=backbone,
         backbone_params=backbone_params,
         allow_fake=bool(params.get("fake_annotator", False)),
+        safe=bool(params.get("safe", False)),
     )

@@ -50,15 +50,16 @@ class HEDNetwork(nn.Module):
 
 def detect_hed(params, frames: jnp.ndarray, model: HEDNetwork) -> jnp.ndarray:
     """frames (N,H,W,3) in [-1,1] -> soft edge map (N,H,W,1) in [0,1].
-    ControlNet-1.1 semantics: net runs on 0..255-scale input; projections
-    upsampled to full res, sigmoid, mean."""
+    ControlNet-1.1 semantics (and the recipe the reference's ScribbleHEDEncoder
+    was building toward at modules.py:1604-1608): raw projections upsampled to
+    full res, averaged, THEN sigmoid."""
     x255 = (frames + 1.0) * 127.5
     projs = model.apply({"params": params}, x255)
     n, h, w, _ = frames.shape
     ups = [
         jax.image.resize(p, (n, h, w, 1), method="bilinear") for p in projs
     ]
-    return jnp.mean(nn.sigmoid(jnp.stack(ups)), axis=0)
+    return nn.sigmoid(jnp.mean(jnp.stack(ups), axis=0))
 
 
 def convert_hed(sd: Dict[str, np.ndarray]) -> Dict:

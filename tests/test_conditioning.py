@@ -147,3 +147,117 @@ class TestLowScaleEncoder:
         # q-sample shrinks the clean signal: mean below 1 for t>0
         out = e.embed(None, noised)
         assert out.shape == (2, 8, 8, 3)
+
+
+class TestPiDiNetEncoders:
+    """SoftEdge / ScribblePidiNet encoder semantics (modules.py:1405-1446,
+    1655-1708): fused sigmoid edge -> (1 - edge) -> [-1, 1] -> 3ch."""
+
+    def _params(self):
+        import jax
+
+        from ccedit_tpu.conditioning.annotators.pidinet import PiDiNet
+
+        model = PiDiNet(inplane=6, dil=4)
+        x = jnp.zeros((1, 16, 16, 3))
+        return model, jax.random.split(jax.random.PRNGKey(0), 1)[0], x
+
+    def test_softedge_mapping(self):
+        import jax
+
+        from ccedit_tpu.conditioning.annotators.pidinet import PiDiNet
+
+        model = PiDiNet(inplane=6, dil=4)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))[
+            "params"
+        ]
+        ann = AnnotatorEmbedder("softedge_pidinet", backbone_params=params)
+        ann._model = model  # small test-sized net instead of table5 dims
+        import ccedit_tpu.conditioning.annotators.base as base_mod
+
+        # route through the real embed() with a patched detector size
+        from ccedit_tpu.conditioning.annotators import pidinet as pidi_mod
+
+        orig = pidi_mod.PiDiNet
+        pidi_mod.PiDiNet = lambda: orig(inplane=6, dil=4)
+        try:
+            x = jnp.asarray(np.random.RandomState(5).rand(1, 2, 16, 16, 3) * 2 - 1)
+            out = ann.embed(None, x)
+        finally:
+            pidi_mod.PiDiNet = orig
+        assert out.shape == (1, 2, 16, 16, 3)
+        o = np.asarray(out)
+        assert o.min() >= -1.0 and o.max() <= 1.0
+        # all three channels identical (repeat of the 1-channel edge)
+        np.testing.assert_allclose(o[..., 0], o[..., 1])
+
+    def test_safe_step_quantizes(self):
+        from ccedit_tpu.conditioning.annotators.pidinet import safe_step
+
+        x = jnp.asarray([0.0, 0.2, 0.4, 0.6, 0.9, 1.0])
+        y = np.asarray(safe_step(x, 2))
+        assert set(np.round(y, 3)) <= {0.0, 0.5, 1.0, 1.5}
+
+    def test_scribble_postprocess_binarizes(self):
+        pytest.importorskip("cv2")
+        from ccedit_tpu.conditioning.annotators.scribble import (
+            scribble_postprocess,
+        )
+
+        edge = np.zeros((1, 32, 32), np.float32)
+        edge[0, 12:20, 4:28] = 1.0  # a thick bright stripe survives the blur
+        out = scribble_postprocess(edge)
+        assert out.shape == (1, 32, 32)
+        assert set(np.unique(out)) <= {0.0, 1.0}
+        assert out.sum() > 0
+
+
+class TestOpenposeAssembly:
+    """Host-side peak finding + PAF limb matching + subset merge on synthetic
+    maps (semantics of modules.py:2090-2297)."""
+
+    def _synthetic(self, H=64, W=64):
+        # two keypoints: part 1 (neck, idx 1) at (16,32), part 2 (r-shoulder,
+        # idx 2... limb [2,3] links parts idx1->idx2) at (48,32)
+        heat = np.zeros((H, W, 19), np.float32)
+        yy, xx = np.mgrid[0:H, 0:W]
+
+        def blob(cx, cy):
+            return np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / 18.0)
+
+        heat[:, :, 1] = blob(16, 32)   # part 2 in 1-based = "neck"
+        heat[:, :, 2] = blob(48, 32)   # part 3 in 1-based
+        paf = np.zeros((H, W, 38), np.float32)
+        # limb k=0 is [2,3] with mapIdx [31,32] -> paf channels 12,13
+        paf[28:37, 12:53, 12] = 1.0  # unit x-direction field along the limb
+        return heat, paf
+
+    def test_two_joint_limb_is_assembled(self):
+        from ccedit_tpu.conditioning.annotators.openpose import (
+            assemble_limbs,
+            find_peaks,
+            merge_subsets,
+        )
+
+        heat, paf = self._synthetic()
+        peaks = find_peaks(heat)
+        assert len(peaks[1]) == 1 and len(peaks[2]) == 1
+        assert peaks[1][0][:2] == (16, 32)
+        conns, special = assemble_limbs(peaks, paf, 64)
+        assert len(conns[0]) == 1  # the [2,3] limb connected
+        candidate, subset = merge_subsets(peaks, conns, special)
+        # a 2-part person is below the >=4 parts cut; relax by checking the
+        # pre-filter path instead: candidate holds both peaks
+        assert candidate.shape[0] == 2
+
+    def test_draw_bodypose_renders(self):
+        pytest.importorskip("cv2")
+        from ccedit_tpu.conditioning.annotators.openpose import draw_bodypose
+
+        candidate = np.array([[0.25, 0.5, 0.9, 0], [0.75, 0.5, 0.8, 1]])
+        subset = -1 * np.ones((1, 20))
+        subset[0, 1] = 0  # part 2 (neck)
+        subset[0, 2] = 1  # part 3
+        subset[0, -1] = 2
+        canvas = draw_bodypose(np.zeros((64, 64, 3), np.uint8), candidate, subset)
+        assert canvas.sum() > 0
