@@ -269,3 +269,195 @@ EMBEDDERS = {
     "inpainting": InpaintingEncoder,
     "outpainting": OutpaintingEncoder,
 }
+
+
+class T5TextEmbedder(Embedder):
+    """FrozenT5Embedder / FrozenByT5Embedder (encoders/modules.py:275-355):
+    T5EncoderModel last_hidden_state over max_length-padded tokens.
+
+    ByT5 ('byt5' variant) tokenizes exactly and asset-free (UTF-8 bytes);
+    classic T5 needs a SentencePiece model file (spm_path) — offline builds
+    can still construct the architecture and convert weights."""
+
+    SIZES = {  # (d_model, d_kv, d_ff, heads, layers)
+        "google/t5-v1_1-small": (512, 64, 1024, 6, 8),
+        "google/t5-v1_1-base": (768, 64, 2048, 12, 12),
+        "google/t5-v1_1-large": (1024, 64, 2816, 16, 24),
+        "google/t5-v1_1-xl": (2048, 64, 5120, 32, 24),
+        "google/t5-v1_1-xxl": (4096, 64, 10240, 64, 24),
+        "google/byt5-base": (1536, 64, 3968, 12, 18),
+    }
+
+    def __init__(self, version="google/t5-v1_1-xxl", max_length=77,
+                 variant="t5", spm_path=None, dtype=jnp.float32):
+        from ..modules.t5 import T5Encoder
+
+        d_model, d_kv, d_ff, heads, layers = self.SIZES.get(
+            version, self.SIZES["google/t5-v1_1-xxl"])
+        vocab = 384 if variant == "byt5" else 32128
+        self.model = T5Encoder(vocab_size=vocab, d_model=d_model, d_kv=d_kv,
+                               d_ff=d_ff, heads=heads, layers=layers,
+                               dtype=dtype)
+        self.max_length = max_length
+        self.variant = variant
+        self._spm = None
+        if spm_path:
+            import sentencepiece as sp  # optional dependency
+
+            self._spm = sp.SentencePieceProcessor(model_file=spm_path)
+
+    def prepare(self, value):
+        if isinstance(value, str):
+            value = [value]
+        if isinstance(value, (list, tuple)) and (
+                not value or isinstance(value[0], str)):
+            if self.variant == "byt5":
+                from ..modules.t5 import byt5_tokenize
+
+                return jnp.asarray(byt5_tokenize(list(value), self.max_length))
+            assert self._spm is not None, (
+                "classic T5 tokenization needs spm_path (SentencePiece model)"
+            )
+            out = np.zeros((len(value), self.max_length), np.int32)
+            for i, t in enumerate(value):
+                ids = self._spm.encode(t)[: self.max_length - 1] + [1]
+                out[i, : len(ids)] = ids
+            return jnp.asarray(out)
+        return value
+
+    def init_params(self, rng, prepared):
+        return self.model.init(rng, prepared)["params"]
+
+    def embed(self, params, tokens):
+        return self.model.apply({"params": params}, tokens)
+
+
+class OpenCLIPTextEmbedder(Embedder):
+    """FrozenOpenCLIPEmbedder(+2) (encoders/modules.py:423-598).
+
+    layer='last': all resblocks -> ln_final.  layer='penultimate': v1
+    semantics stop BEFORE the final resblock then ln_final; v2 ('emb2' with
+    legacy=False) returns the raw hidden state and optionally the EOT-pooled
+    projection."""
+
+    def __init__(self, arch="ViT-H-14", layer="last", legacy=True,
+                 always_return_pooled=False, max_length=77,
+                 asset_dir=None, dtype=jnp.float32):
+        from ..modules.openclip import OpenCLIPTextModel
+
+        width, heads, layers = {
+            "ViT-H-14": (1024, 16, 24),
+            "ViT-bigG-14": (1280, 20, 32),
+            "ViT-L-14": (768, 12, 12),
+        }[arch]
+        self.model = OpenCLIPTextModel(width=width, heads=heads, layers=layers,
+                                       max_len=max_length, dtype=dtype)
+        self.tokenizer = load_tokenizer(asset_dir)
+        self.layer = layer
+        self.legacy = legacy
+        self.return_pooled = always_return_pooled
+        self.max_length = max_length
+
+    def prepare(self, value):
+        if isinstance(value, str):
+            value = [value]
+        if isinstance(value, (list, tuple)) and (
+                not value or isinstance(value[0], str)):
+            return jnp.asarray(self.tokenizer(list(value), self.max_length))
+        return value
+
+    def init_params(self, rng, prepared):
+        return self.model.init(rng, prepared)["params"]
+
+    def embed(self, params, tokens):
+        if self.legacy:
+            # legacy (v1, and v2 with legacy=True): ln_final applied to the
+            # selected hidden state; for 'penultimate' the final resblock's
+            # output is never used, so skip computing it entirely
+            if self.layer == "penultimate":
+                out = self.model.apply({"params": params}, tokens,
+                                       skip_last_layer=True)
+                return out["penultimate_norm"]
+            return self.model.apply({"params": params}, tokens)["last_norm"]
+        out = self.model.apply({"params": params}, tokens)
+        z = out["last" if self.layer == "last" else "penultimate"]
+        if self.return_pooled:
+            return z, out["pooled"]
+        return z
+
+
+class OpenCLIPImageEmbedder(Embedder):
+    """FrozenOpenCLIPImageEmbedder (encoders/modules.py:601-758): CLIP-ViT
+    image features with the reference's preprocessing (bicubic antialias 224
+    resize, CLIP mean/std) and output plumbing (unsqueeze / repeat-to-max-len
+    / pad-to-max-len / token output)."""
+
+    MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+    def __init__(self, arch="ViT-H-14", unsqueeze_dim=False,
+                 repeat_to_max_len=False, max_length=77, output_tokens=False,
+                 dtype=jnp.float32):
+        from ..modules.openclip import OpenCLIPVisionModel
+
+        width, heads, layers, out_dim = {
+            "ViT-H-14": (1280, 16, 32, 1024),
+            "ViT-L-14": (1024, 16, 24, 768),
+        }[arch]
+        self.model = OpenCLIPVisionModel(width=width, heads=heads,
+                                         layers=layers, output_dim=out_dim,
+                                         dtype=dtype)
+        self.unsqueeze_dim = unsqueeze_dim
+        self.repeat_to_max_len = repeat_to_max_len
+        self.max_length = max_length
+        self.output_tokens = output_tokens
+
+    def prepare(self, value):
+        x = jnp.asarray(value)  # (B,H,W,3) in [-1,1]
+        x = jax.image.resize(
+            x, (x.shape[0], 224, 224, 3), method="bicubic", antialias=True)
+        x = (x + 1.0) / 2.0
+        return (x - self.MEAN) / self.STD
+
+    def init_params(self, rng, prepared):
+        return self.model.init(rng, prepared)["params"]
+
+    def embed(self, params, images):
+        if self.output_tokens:
+            z, tokens = self.model.apply({"params": params}, images,
+                                         output_tokens=True)
+            return tokens, z
+        z = self.model.apply({"params": params}, images)
+        if self.unsqueeze_dim:
+            z = z[:, None, :]
+        if self.repeat_to_max_len:
+            z_ = z[:, None, :] if z.ndim == 2 else z
+            return jnp.broadcast_to(
+                z_, (z_.shape[0], self.max_length, z_.shape[-1])), z
+        return z
+
+
+class CLIPT5Embedder(Embedder):
+    """FrozenCLIPT5Encoder (encoders/modules.py:761-786): CLIP-L text and T5
+    embeddings side by side, returned as a 2-list."""
+
+    def __init__(self, asset_dir=None, clip_max_length=77, t5_max_length=77,
+                 t5_version="google/t5-v1_1-xl", dtype=jnp.float32):
+        self.clip = CLIPTextEmbedder(asset_dir=asset_dir, dtype=dtype)
+        self.t5 = T5TextEmbedder(version=t5_version, max_length=t5_max_length,
+                                 dtype=dtype)
+        self.clip.max_len = clip_max_length
+
+    def prepare(self, value):
+        return {"clip": self.clip.prepare(value), "t5": self.t5.prepare(value)}
+
+    def init_params(self, rng, prepared):
+        import jax as _jax
+
+        r1, r2 = _jax.random.split(rng)
+        return {"clip": self.clip.init_params(r1, prepared["clip"]),
+                "t5": self.t5.init_params(r2, prepared["t5"])}
+
+    def embed(self, params, prepared):
+        return [self.clip.embed(params["clip"], prepared["clip"]),
+                self.t5.embed(params["t5"], prepared["t5"])]

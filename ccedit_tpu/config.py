@@ -296,6 +296,41 @@ def _build_embedder(emb_cfg: Dict, asset_dir: Optional[str], dtype):
         return E.InpaintingEncoder()
     if name == "OutpaintingEncoder":
         return E.OutpaintingEncoder()
+    if name == "FrozenT5Embedder":
+        return E.T5TextEmbedder(
+            version=p.get("version", "google/t5-v1_1-xxl"),
+            max_length=p.get("max_length", 77),
+            spm_path=p.get("spm_path"), dtype=dtype,
+        )
+    if name == "FrozenByT5Embedder":
+        return E.T5TextEmbedder(
+            version=p.get("version", "google/byt5-base"),
+            max_length=p.get("max_length", 77), variant="byt5", dtype=dtype,
+        )
+    if name in ("FrozenOpenCLIPEmbedder", "FrozenOpenCLIPEmbedder2"):
+        return E.OpenCLIPTextEmbedder(
+            arch=p.get("arch", "ViT-H-14"),
+            layer=p.get("layer", "last"),
+            legacy=p.get("legacy", True) or name == "FrozenOpenCLIPEmbedder",
+            always_return_pooled=p.get("always_return_pooled", False),
+            max_length=p.get("max_length", 77),
+            asset_dir=asset_dir, dtype=dtype,
+        )
+    if name == "FrozenOpenCLIPImageEmbedder":
+        return E.OpenCLIPImageEmbedder(
+            arch=p.get("arch", "ViT-H-14"),
+            unsqueeze_dim=p.get("unsqueeze_dim", False),
+            repeat_to_max_len=p.get("repeat_to_max_len", False),
+            max_length=p.get("max_length", 77),
+            output_tokens=p.get("output_tokens", False), dtype=dtype,
+        )
+    if name == "FrozenCLIPT5Encoder":
+        return E.CLIPT5Embedder(
+            asset_dir=asset_dir,
+            clip_max_length=p.get("clip_max_length", 77),
+            t5_max_length=p.get("t5_max_length", 77),
+            t5_version=p.get("t5_version", "google/t5-v1_1-xl"), dtype=dtype,
+        )
     if name in (
         "DepthMidasEncoder", "DepthZoeEncoder", "LineartEncoder",
         "SoftEdgeEncoder", "NormalBaeEncoder", "ScribbleHEDEncoder",

@@ -64,6 +64,26 @@ class StandardDiffusionLoss:
         w = append_dims(denoiser.w(sigmas), x.ndim)
         return self.get_loss(model_output, x, w)
 
+    @staticmethod
+    def make_lpips_fn(lpips_params):
+        """Build a perceptual_fn from converted LPIPS params
+        (modules.lpips.convert_lpips): folds leading dims into batch, runs
+        the VGG16 LPIPS net on channels-last 3ch frames, averages per sample.
+        Mirrors the reference's ``self.lpips(model_output, target)``
+        (sgm loss.py:51-53, 82-84) with an actual in-repo net."""
+        from ..modules.lpips import LPIPS
+
+        net = LPIPS()
+
+        def fn(a, b):
+            bsz = a.shape[0]
+            a2 = a.reshape((-1,) + a.shape[-3:])
+            b2 = b.reshape((-1,) + b.shape[-3:])
+            d = net.apply({"params": lpips_params}, a2, b2)
+            return jnp.mean(d.reshape(bsz, -1), axis=1)
+
+        return fn
+
     def get_loss(self, model_output, target, w):
         b = target.shape[0]
         if self.loss_type == "l2":
