@@ -46,6 +46,12 @@ def main():
     p.add_argument("--save_path", type=str, default="outputs/demo/txt2img")
     p.add_argument("--tokenizer_assets", type=str, default="")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--watermark", action="store_true",
+                   help="embed the SDV2 invisible watermark in outputs")
+    p.add_argument("--safety_clip_ckpt", type=str, default="",
+                   help="CLIP ViT-L visual ckpt for the DeepFloyd filter")
+    p.add_argument("--safety_heads_dir", type=str, default="",
+                   help="directory with p_head_v1.npz / w_head_v1.npz")
     args = p.parse_args()
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
@@ -74,6 +80,23 @@ def main():
     save_dir = Path(args.save_path)
     save_dir.mkdir(parents=True, exist_ok=True)
 
+    # demo-parity output filters (streamlit_helpers.py:29-72 + detect path)
+    sample_filter = None
+    if args.safety_clip_ckpt or args.safety_heads_dir:
+        from ..utils.safety import DeepFloydDataFiltering
+
+        heads = Path(args.safety_heads_dir) if args.safety_heads_dir else None
+        sample_filter = DeepFloydDataFiltering.from_files(
+            clip_ckpt=args.safety_clip_ckpt or None,
+            p_head_path=str(heads / "p_head_v1.npz") if heads else None,
+            w_head_path=str(heads / "w_head_v1.npz") if heads else None,
+        )
+    watermarker = None
+    if args.watermark:
+        from ..utils.watermark import WatermarkEmbedder
+
+        watermarker = WatermarkEmbedder()
+
     z_shape = (1, args.H // 8, args.W // 8, 4)
     x_prior = None
     if args.init_image:
@@ -93,7 +116,13 @@ def main():
         else:
             latents = engine.sample(params, c, uc, z_shape, k)
         img_out = engine.decode_first_stage(params, latents)
-        out = to_uint8(np.asarray(img_out[0]))
+        img01 = (jnp.clip(img_out, -1.0, 1.0) + 1.0) / 2.0
+        if sample_filter is not None:
+            img01 = sample_filter(img01)
+        img01 = np.asarray(img01)
+        if watermarker is not None:
+            img01 = watermarker(img01)
+        out = to_uint8(img01[0] * 2.0 - 1.0)
         Image.fromarray(out).save(save_dir / f"sample_{i:03d}.png")
         print(f"[done] sample {i}: {time.time() - t0:.1f}s -> {save_dir}/sample_{i:03d}.png")
 

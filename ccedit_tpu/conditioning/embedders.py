@@ -461,3 +461,45 @@ class CLIPT5Embedder(Embedder):
     def embed(self, params, prepared):
         return [self.clip.embed(params["clip"], prepared["clip"]),
                 self.t5.embed(params["t5"], prepared["t5"])]
+
+
+class CustomIdentityDownCondEncoder(CustomIdentityEncoder):
+    """CustomIdentityEncoder + blur-factor conditioning channels
+    (encoders/modules.py:1115-1164): randomly down+up-sample by a factor from
+    ``down_blur_factor`` (probs ``down_blur_probs``), then append a Fourier
+    timestep embedding of the factor as extra channels broadcast over
+    (T, H, W).  Video layout here is (B, T, H, W, C)."""
+
+    def __init__(self, outdim: int, down_blur_factor=None,
+                 down_blur_probs=None, seed: int = 0):
+        super().__init__(downsample_factor=1)
+        self.outdim = outdim
+        self.down_blur_factor = list(down_blur_factor or [])
+        self.down_blur_probs = list(down_blur_probs or [])
+        self._rng = np.random.default_rng(seed)
+
+    def embed(self, params, prepared):
+        x = jnp.asarray(prepared)
+        if not self.down_blur_factor:
+            return x
+        factor = float(self._rng.choice(
+            self.down_blur_factor,
+            p=self.down_blur_probs if self.down_blur_probs else None))
+        shape = list(x.shape)
+        h_ax, w_ax = x.ndim - 3, x.ndim - 2
+        small = list(shape)
+        small[h_ax] = int(shape[h_ax] / factor)
+        small[w_ax] = int(shape[w_ax] / factor)
+        method = "trilinear" if x.ndim == 5 else "bilinear"
+        # jax.image has no trilinear; T is untouched by the reference's
+        # trilinear call (size_down keeps nframe), so bilinear over (H, W)
+        # per frame is the same computation
+        x = jax.image.resize(x, small, method="bilinear")
+        x = jax.image.resize(x, shape, method="bilinear")
+        emb = timestep_embedding(
+            jnp.full((x.shape[0],), factor, jnp.float32), self.outdim)
+        bshape = x.shape[:-1] + (self.outdim,)
+        emb = jnp.broadcast_to(
+            emb.reshape((x.shape[0],) + (1,) * (x.ndim - 2) + (self.outdim,)),
+            bshape)
+        return jnp.concatenate([x, emb.astype(x.dtype)], axis=-1)

@@ -281,6 +281,12 @@ def _build_embedder(emb_cfg: Dict, asset_dir: Optional[str], dtype):
         return E.IdentityEncoder()
     if name in ("CustomIdentityEncoder",):
         return E.CustomIdentityEncoder(p.get("downsample_factor", 1))
+    if name == "CustomIdentityDownCondEncoder":
+        return E.CustomIdentityDownCondEncoder(
+            outdim=p.get("outdim", 256),
+            down_blur_factor=p.get("down_blur_factor"),
+            down_blur_probs=p.get("down_blur_probs"),
+        )
     if name == "ConcatTimestepEmbedderND":
         return E.ConcatTimestepEmbedderND(p.get("outdim", 256))
     if name == "ClassEmbedder":

@@ -152,3 +152,27 @@ def save_video_frames(
         t, h, w, _ = frames8.shape
         grid = frames8.transpose(1, 0, 2, 3).reshape(h, t * w, 3)
         Image.fromarray(grid).save(out.with_suffix(".grid.png"))
+
+
+def save_panel_grid(rows, out_path: str, max_frames: int = 8) -> None:
+    """Conditioning-panel grid: each row is a (T,H,W,3) clip in [-1,1]; rows
+    are stacked vertically, frames horizontally (the reference ImageLogger's
+    log_images grid, main.py:439-487)."""
+    import numpy as np
+
+    t = min(min(r.shape[0] for r in rows), max_frames)
+    h = min(r.shape[1] for r in rows)
+    w = min(r.shape[2] for r in rows)
+    grid_rows = []
+    for r in rows:
+        frames = [np.asarray(r[i][:h, :w]) for i in range(t)]
+        grid_rows.append(np.concatenate(frames, axis=1))
+    grid = to_uint8(np.concatenate(grid_rows, axis=0))
+    try:
+        import cv2
+
+        cv2.imwrite(out_path, grid[:, :, ::-1])
+    except Exception:
+        from PIL import Image
+
+        Image.fromarray(grid).save(out_path)

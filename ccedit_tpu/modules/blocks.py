@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax.nn.initializers import zeros as zeros_init
 
+from ..ops.video import fold_time, temporal_to_tokens, tokens_to_temporal
+
 Dtype = Any
 
 
@@ -95,8 +97,6 @@ def spatial_temporal(x, spatial_fn, temporal_fn, identity_fn=None, alpha=None):
     (B*H*W, T, C).  identity_fn transforms the temporal-branch skip (default
     identity).  alpha (learnable scalar): out = a*skip + (1-a)*temporal.
     """
-    from ..ops.video import fold_time, temporal_to_tokens, tokens_to_temporal
-
     b = x.shape[0]
     xs = spatial_fn(fold_time(x))
     _, h, w, _ = xs.shape

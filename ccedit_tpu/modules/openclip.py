@@ -27,10 +27,12 @@ Dtype = Any
 
 
 class ResidualAttentionBlock(nn.Module):
-    """open_clip transformer resblock: pre-LN, fused-qkv MHA, gelu MLP."""
+    """open_clip transformer resblock: pre-LN, fused-qkv MHA, gelu MLP.
+    act='quick_gelu' selects OpenAI-CLIP's x*sigmoid(1.702x) MLP."""
 
     width: int
     heads: int
+    act: str = "gelu"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -55,7 +57,10 @@ class ResidualAttentionBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(h)
-        h = nn.gelu(h, approximate=False)
+        if self.act == "quick_gelu":
+            h = h * nn.sigmoid(1.702 * h)
+        else:
+            h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.width, dtype=self.dtype, name="c_proj")(h)
         return x + h
 
@@ -119,6 +124,7 @@ class OpenCLIPVisionModel(nn.Module):
     heads: int = 16
     layers: int = 32
     output_dim: int = 1024
+    act: str = "gelu"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -140,7 +146,8 @@ class OpenCLIPVisionModel(nn.Module):
         x = x + pos[None, : x.shape[1]].astype(x.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
         for i in range(self.layers):
-            x = ResidualAttentionBlock(self.width, self.heads, dtype=self.dtype,
+            x = ResidualAttentionBlock(self.width, self.heads, act=self.act,
+                                       dtype=self.dtype,
                                        name=f"resblocks_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x)
         pooled, tokens = x[:, 0], x[:, 1:]

@@ -110,6 +110,18 @@ class mesh_context:
         return False
 
 
+def _small_seq_ok(q, k) -> bool:
+    """Gate for the short-sequence (temporal) pallas kernel: tiny token count
+    over a huge folded batch — XLA pads the 17-wide fp32 score minors to 128
+    lanes and crawls (14.5ms at SD-1.5 level 0 on v5e; the kernel runs the
+    same op in 6.5ms with scores never leaving VMEM)."""
+    if not _is_tpu():
+        return False
+    n_q, n_k = q.shape[-2], k.shape[-2]
+    return (n_q == n_k and n_q <= 32 and q.shape[0] * q.shape[1] >= 2048
+            and q.shape[-1] <= 256)
+
+
 def _attention_kernel(q, k, v, scale, force_xla):
     if not force_xla and _flash_ok(q, k):
         fa = _flash_fn()
@@ -117,6 +129,10 @@ def _attention_kernel(q, k, v, scale, force_xla):
             q, k, v, causal=False, sm_scale=scale,
             block_sizes=_flash_blocks(q.shape[-2], k.shape[-2], q.shape[-1]),
         )
+    if not force_xla and _small_seq_ok(q, k):
+        from .temporal_attention import small_seq_attention
+
+        return small_seq_attention(q, k, v, scale)
     return _xla_attention(q, k, v, scale)
 
 

@@ -71,7 +71,9 @@ def small_seq_attention(q, k, v, scale: float) -> jnp.ndarray:
     def to_tdn(x):
         return x.reshape(n, t, d).transpose(1, 2, 0)
 
-    block_n = 512
+    # lane-block sized to keep the double-buffered bf16 blocks plus the
+    # kernel's fp32 casts inside scoped VMEM (16MB)
+    block_n = 512 if d <= 48 else (256 if d <= 96 else 128)
     pad = (-n) % block_n
     qt, kt, vt = to_tdn(q), to_tdn(k), to_tdn(v)
     if pad:

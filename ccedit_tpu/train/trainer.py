@@ -66,6 +66,7 @@ class Trainer:
         self.logdir = Path(cfg.logdir)
         self.logdir.mkdir(parents=True, exist_ok=True)
         self._csv_path = self.logdir / "metrics.csv"
+        self._init_wandb()
 
     # -- checkpointing ------------------------------------------------
     def _ckpt_manager(self):
@@ -114,13 +115,37 @@ class Trainer:
             if write_header:
                 w.writeheader()
             w.writerow(row)
+        # structured sink (wandb-equivalent): JSONL is always written; wandb
+        # itself attaches when installed + WANDB_PROJECT set (main.py logger
+        # config analog, main.py:744-787)
+        import json as _json
+
+        with open(self.logdir / "metrics.jsonl", "a") as f:
+            f.write(_json.dumps(row) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(row, step=step)
+
+    def _init_wandb(self):
+        import os as _os
+
+        self._wandb = None
+        if not _os.environ.get("WANDB_PROJECT"):
+            return
+        try:
+            import wandb
+
+            wandb.init(project=_os.environ["WANDB_PROJECT"],
+                       dir=str(self.logdir), resume="allow")
+            self._wandb = wandb
+        except Exception as e:
+            print(f"[log] wandb unavailable ({e}); JSONL/CSV sinks only")
 
     # -- validation sampling (the ImageLogger / log_images equivalent,
     #    main.py:439-487 + diffusion.py:608-708) -----------------------
     def log_samples(self, params, batch: Dict, step: int, ema_shadow=None):
         """Sample from the current (or EMA) weights on a training batch's
         conditioning and save the clips next to the logs."""
-        from ..data.video import save_video_frames
+        from ..data.video import save_panel_grid, save_video_frames
 
         eng = self.engine
         use_params = dict(params)
@@ -146,6 +171,14 @@ class Trainer:
         out_dir.mkdir(exist_ok=True)
         save_video_frames(frames, str(out_dir / f"step{step:08d}_sample.gif"), fps=4)
         save_video_frames(x[0], str(out_dir / f"step{step:08d}_input.gif"), fps=4)
+        # conditioning-panel grid (the reference's log_images conditioning
+        # rows, diffusion.py:608-708): input / hint / sample frames stacked
+        panel_rows = [x[0]]
+        hint = prepared.get("control_hint")
+        if hint is not None and np.asarray(hint).ndim == 5:
+            panel_rows.append(np.asarray(hint)[0])
+        panel_rows.append(frames)
+        save_panel_grid(panel_rows, str(out_dir / f"step{step:08d}_panel.png"))
 
     # -- main loop ----------------------------------------------------
     def fit(self, loader, batch_size: int, resume: bool = True):

@@ -261,3 +261,50 @@ class TestOpenposeAssembly:
         subset[0, -1] = 2
         canvas = draw_bodypose(np.zeros((64, 64, 3), np.uint8), candidate, subset)
         assert canvas.sum() > 0
+
+
+class TestSafetyAndWatermark:
+    def test_watermark_lsb_roundtrip(self):
+        from ccedit_tpu.utils.watermark import (
+            WATERMARK_BITS,
+            WatermarkEmbedder,
+            decode_lsb,
+        )
+
+        img = np.random.RandomState(0).rand(1, 32, 64, 3).astype(np.float32)
+        out = WatermarkEmbedder()(img)
+        assert out.shape == img.shape
+        assert decode_lsb(out) == WATERMARK_BITS
+        # perturbation is at most 1 LSB of the blue channel
+        assert np.abs(out - img).max() <= (1.5 / 255.0)
+
+    def test_safety_filter_passthrough_and_blur(self):
+        import jax.numpy as jnp
+
+        from ccedit_tpu.utils.safety import (
+            DeepFloydDataFiltering,
+            gaussian_blur,
+            clip_process_images,
+        )
+
+        imgs = jnp.asarray(np.random.RandomState(1).rand(2, 64, 48, 3),
+                           jnp.float32)
+        filt = DeepFloydDataFiltering()  # no weights -> passthrough + warning
+        np.testing.assert_allclose(np.asarray(filt(imgs)), np.asarray(imgs))
+        proc = clip_process_images(imgs)
+        assert proc.shape == (2, 224, 224, 3)
+        blurred = gaussian_blur(imgs)
+        assert blurred.shape == imgs.shape
+        # heavy blur flattens the image toward its mean
+        assert float(jnp.std(blurred)) < float(jnp.std(imgs)) * 0.5
+
+    def test_downcond_appends_factor_channels(self):
+        from ccedit_tpu.conditioning.embedders import (
+            CustomIdentityDownCondEncoder,
+        )
+
+        e = CustomIdentityDownCondEncoder(outdim=8, down_blur_factor=[2.0],
+                                          down_blur_probs=[1.0])
+        x = np.random.RandomState(2).rand(2, 3, 16, 16, 4).astype(np.float32)
+        out = e.embed(None, x)
+        assert out.shape == (2, 3, 16, 16, 12)
