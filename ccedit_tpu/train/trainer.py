@@ -44,6 +44,7 @@ class TrainerConfig:
     max_steps: int = 1000
     ckpt_every: int = 500
     log_every: int = 10
+    zero_sharding: bool = False  # ZeRO-1 optimizer-state sharding
     sample_every: int = 0  # 0 = off; the ImageLogger equivalent (main.py:326-523)
     sample_steps: int = 10
     negative_prompt: str = "ugly, low quality"
@@ -214,9 +215,26 @@ class Trainer:
         bshard = lambda nd: NamedSharding(self.plan.mesh, P("data", *([None] * (nd - 1))))
 
         raw_step = self.engine.make_train_step(tx)
-        step_fn = jax.jit(raw_step, donate_argnums=(0,))
 
-        state = jax.device_put(state, repl)
+        if cfg.zero_sharding and self.plan.n_data > 1:
+            # ZeRO-1: optimizer state sharded over the data axis, params
+            # replicated; the jit sharding constraint keeps the state
+            # partitioned across steps (XLA inserts the needed collectives)
+            from ..parallel.zero import zero_shardings
+
+            opt_shardings = zero_shardings(state.opt_state, self.plan)
+            state_shardings = type(state)(
+                params=jax.tree_util.tree_map(lambda _: repl, state.params),
+                opt_state=opt_shardings,
+                step=repl,
+                ema=jax.tree_util.tree_map(lambda _: repl, state.ema),
+            )
+            step_fn = jax.jit(raw_step, donate_argnums=(0,),
+                              out_shardings=(state_shardings, None))
+            state = jax.device_put(state, state_shardings)
+        else:
+            step_fn = jax.jit(raw_step, donate_argnums=(0,))
+            state = jax.device_put(state, repl)
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
         # SIGUSR1 -> checkpoint at the next step boundary (the reference's

@@ -48,7 +48,7 @@ if "blocks" in which:
     p = jax.eval_shape(rb.init, key, x, emb)
     p = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), p)
     bench("ResBlock3D l0 (2,17,64,96,320)", lambda x, p: rb.apply(p, x, emb), x, p)
-    ctx = jax.random.normal(key, (B*T, 77, 768), jnp.bfloat16)
+    ctx = jax.random.normal(key, (B, 77, 768), jnp.bfloat16)
     st = SpatialTransformer3D(in_channels=C, n_heads=8, d_head=40, depth=1,
                               context_dim=768, dtype=jnp.bfloat16)
     ps = jax.eval_shape(st.init, key, x, ctx)

@@ -1,0 +1,184 @@
+"""InceptionV3 (FID backbone) parity against a torch oracle rebuilt from the
+pytorch_fid/torchvision architecture the reference wraps
+(encoders/modules.py:207-230)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+class _BC(torch.nn.Module):
+    def __init__(self, i, o, k, s=1, p=0):
+        super().__init__()
+        self.conv = torch.nn.Conv2d(i, o, k, s, p, bias=False)
+        self.bn = torch.nn.BatchNorm2d(o, eps=1e-3)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+def _avgp(x):
+    return F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+
+
+class _IA(torch.nn.Module):
+    def __init__(self, i, pf):
+        super().__init__()
+        self.branch1x1 = _BC(i, 64, 1)
+        self.branch5x5_1 = _BC(i, 48, 1)
+        self.branch5x5_2 = _BC(48, 64, 5, p=2)
+        self.branch3x3dbl_1 = _BC(i, 64, 1)
+        self.branch3x3dbl_2 = _BC(64, 96, 3, p=1)
+        self.branch3x3dbl_3 = _BC(96, 96, 3, p=1)
+        self.branch_pool = _BC(i, pf, 1)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch1x1(x),
+            self.branch5x5_2(self.branch5x5_1(x)),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            self.branch_pool(_avgp(x))], 1)
+
+
+class _IB(torch.nn.Module):
+    def __init__(self, i):
+        super().__init__()
+        self.branch3x3 = _BC(i, 384, 3, s=2)
+        self.branch3x3dbl_1 = _BC(i, 64, 1)
+        self.branch3x3dbl_2 = _BC(64, 96, 3, p=1)
+        self.branch3x3dbl_3 = _BC(96, 96, 3, s=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3(x),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            F.max_pool2d(x, 3, 2)], 1)
+
+
+class _IC(torch.nn.Module):
+    def __init__(self, i, c7):
+        super().__init__()
+        self.branch1x1 = _BC(i, 192, 1)
+        self.branch7x7_1 = _BC(i, c7, 1)
+        self.branch7x7_2 = _BC(c7, c7, (1, 7), p=(0, 3))
+        self.branch7x7_3 = _BC(c7, 192, (7, 1), p=(3, 0))
+        self.branch7x7dbl_1 = _BC(i, c7, 1)
+        self.branch7x7dbl_2 = _BC(c7, c7, (7, 1), p=(3, 0))
+        self.branch7x7dbl_3 = _BC(c7, c7, (1, 7), p=(0, 3))
+        self.branch7x7dbl_4 = _BC(c7, c7, (7, 1), p=(3, 0))
+        self.branch7x7dbl_5 = _BC(c7, 192, (1, 7), p=(0, 3))
+        self.branch_pool = _BC(i, 192, 1)
+
+    def forward(self, x):
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        return torch.cat([
+            self.branch1x1(x),
+            self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x))),
+            bd, self.branch_pool(_avgp(x))], 1)
+
+
+class _ID(torch.nn.Module):
+    def __init__(self, i):
+        super().__init__()
+        self.branch3x3_1 = _BC(i, 192, 1)
+        self.branch3x3_2 = _BC(192, 320, 3, s=2)
+        self.branch7x7x3_1 = _BC(i, 192, 1)
+        self.branch7x7x3_2 = _BC(192, 192, (1, 7), p=(0, 3))
+        self.branch7x7x3_3 = _BC(192, 192, (7, 1), p=(3, 0))
+        self.branch7x7x3_4 = _BC(192, 192, 3, s=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3_2(self.branch3x3_1(x)),
+            self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+                self.branch7x7x3_1(x)))),
+            F.max_pool2d(x, 3, 2)], 1)
+
+
+class _IE(torch.nn.Module):
+    def __init__(self, i, pool="avg"):
+        super().__init__()
+        self.pool = pool
+        self.branch1x1 = _BC(i, 320, 1)
+        self.branch3x3_1 = _BC(i, 384, 1)
+        self.branch3x3_2a = _BC(384, 384, (1, 3), p=(0, 1))
+        self.branch3x3_2b = _BC(384, 384, (3, 1), p=(1, 0))
+        self.branch3x3dbl_1 = _BC(i, 448, 1)
+        self.branch3x3dbl_2 = _BC(448, 384, 3, p=1)
+        self.branch3x3dbl_3a = _BC(384, 384, (1, 3), p=(0, 1))
+        self.branch3x3dbl_3b = _BC(384, 384, (3, 1), p=(1, 0))
+        self.branch_pool = _BC(i, 192, 1)
+
+    def forward(self, x):
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        bp = (F.max_pool2d(x, 3, 1, 1) if self.pool == "max" else _avgp(x))
+        return torch.cat([self.branch1x1(x), b3, bd,
+                          self.branch_pool(bp)], 1)
+
+
+class _TorchInception(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = _BC(3, 32, 3, s=2)
+        self.Conv2d_2a_3x3 = _BC(32, 32, 3)
+        self.Conv2d_2b_3x3 = _BC(32, 64, 3, p=1)
+        self.Conv2d_3b_1x1 = _BC(64, 80, 1)
+        self.Conv2d_4a_3x3 = _BC(80, 192, 3)
+        self.Mixed_5b = _IA(192, 32)
+        self.Mixed_5c = _IA(256, 64)
+        self.Mixed_5d = _IA(288, 64)
+        self.Mixed_6a = _IB(288)
+        self.Mixed_6b = _IC(768, 128)
+        self.Mixed_6c = _IC(768, 160)
+        self.Mixed_6d = _IC(768, 160)
+        self.Mixed_6e = _IC(768, 192)
+        self.Mixed_7a = _ID(768)
+        self.Mixed_7b = _IE(1280)
+        self.Mixed_7c = _IE(2048, pool="max")
+
+    def forward(self, x):
+        x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+        x = F.max_pool2d(x, 3, 2)
+        x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+        x = F.max_pool2d(x, 3, 2)
+        for m in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a", "Mixed_6b",
+                  "Mixed_6c", "Mixed_6d", "Mixed_6e", "Mixed_7a", "Mixed_7b",
+                  "Mixed_7c"):
+            x = getattr(self, m)(x)
+        return x.mean([2, 3])
+
+
+class TestInceptionParity:
+    def test_final_features_match(self):
+        import jax.numpy as jnp
+
+        from reference_compat import randomize_state_dict
+
+        from ccedit_tpu.modules.inception import InceptionV3, convert_inception
+
+        tm = _TorchInception().eval()
+        randomize_state_dict(tm, seed=90, scale=0.02)
+        # keep BN stats sane after randomization
+        sd = tm.state_dict()
+        for k in sd:
+            if "running_var" in k:
+                sd[k] = torch.abs(sd[k]) + 0.5
+            if "num_batches" in k:
+                sd[k] = torch.ones_like(sd[k])
+        tm.load_state_dict(sd)
+
+        x = torch.rand(1, 3, 299, 299, generator=torch.Generator().manual_seed(91))
+        with torch.no_grad():
+            ref = tm(x).numpy()
+
+        params = convert_inception({k: v.numpy() for k, v in tm.state_dict().items()})
+        jm = InceptionV3(resize_input=False)
+        out = jm.apply({"params": params},
+                       jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))[0]
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-2)

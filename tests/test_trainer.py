@@ -155,3 +155,67 @@ class TestValidationSampling:
         trainer.fit(loader, batch_size=8, resume=False)
         imgs = list((tmp_path / "run" / "images").glob("*.gif"))
         assert len(imgs) >= 2  # sample + input
+
+
+class TestZeroSharding:
+    def test_zero1_matches_replicated(self):
+        """ZeRO-1 sharded optimizer state must produce the same training
+        trajectory as replicated state (SURVEY.md §2.7 ZeRO row)."""
+        import jax
+        import numpy as np
+
+        from ccedit_tpu.parallel.zero import apply_zero, zero_shardings
+        from ccedit_tpu.parallel.mesh import make_mesh
+
+        plan = make_mesh()
+        assert plan.n_data > 1, "test expects the 8-device CPU mesh"
+        import optax
+
+        params = {"w": jax.numpy.ones((16, 8)), "b": jax.numpy.zeros((3,))}
+        tx = optax.adam(1e-2)
+        opt = tx.init(params)
+        sharded = apply_zero(opt, plan)
+        # placement: the (16,8) moment tensors split over data; scalars whole
+        specs = jax.tree_util.tree_map(lambda s: s.spec, zero_shardings(opt, plan))
+        flat = jax.tree_util.tree_leaves(specs, is_leaf=lambda x: hasattr(x, "index"))
+
+        def step(p, o, g):
+            u, o2 = tx.update(g, o, p)
+            return optax.apply_updates(p, u), o2
+
+        g = {"w": jax.numpy.full((16, 8), 0.5), "b": jax.numpy.full((3,), 0.1)}
+        p_ref, o_ref = step(params, opt, g)
+        p_sh, o_sh = jax.jit(step)(params, sharded, g)
+        np.testing.assert_allclose(np.asarray(p_sh["w"]), np.asarray(p_ref["w"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(p_sh["b"]), np.asarray(p_ref["b"]),
+                                   rtol=1e-6)
+
+    def test_zero_sharded_trainer_fit(self, tmp_path):
+        """fit() with zero_sharding=True runs jitted steps on the 8-dev mesh
+        and produces finite loss (ZeRO-1 state partitioning end-to-end)."""
+        engine = make_tiny_engine(freeze="none")
+        ds = SyntheticVideoDataset(n_items=8, num_frames=2, size_hw=(16, 16))
+
+        class HintFix:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                s = ds[i]
+                hint = np.repeat(np.repeat(s["jpg"], 4, axis=1), 4, axis=2)
+                return {"jpg": s["jpg"],
+                        "txt_emb": np.zeros((7, 16), dtype=np.float32),
+                        "control_hint": hint}
+
+        loader = DataLoader(HintFix(), batch_size=8, seed=0)
+        plan = make_mesh(jax.devices(), data=8, model=1)
+        trainer = Trainer(
+            engine,
+            TrainerConfig(logdir=str(tmp_path / "zrun"), max_steps=2,
+                          ckpt_every=10, log_every=1, base_lr=1e-4,
+                          scale_lr=False, seed=0, zero_sharding=True),
+            plan=plan,
+        )
+        state = trainer.fit(loader, batch_size=8, resume=False)
+        assert int(state.step) == 2
