@@ -50,6 +50,14 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def hard_sync(x):
+    """block_until_ready is a NO-OP under the axon RPC tunnel; fetching a
+    scalar of the result is the only reliable device barrier."""
+    jax.block_until_ready(x)
+    jax.device_get(jnp.ravel(x)[0])
+    return x
+
+
 def main():
     T = int(os.environ.get("BENCH_FRAMES", 17))
     H = int(os.environ.get("BENCH_H", 512))
@@ -77,12 +85,21 @@ def main():
         "control_hint": jnp.zeros((1, T, H, W, 3), dtype=dtype),
     }
     t0 = time.time()
+    # store params in the COMPUTE dtype: fp32 storage costs ~17s/clip of
+    # in-program fp32->bf16 weight casts (6.4GB read + 3.2GB write per
+    # execution, measured v5e) before any math happens
+    def materialize(shapes):
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape,
+                                dtype if s.dtype == jnp.float32 else s.dtype),
+            shapes)
+
     p_shapes = jax.eval_shape(net.init, rng, x, tt, cond)
-    params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), p_shapes)
+    params = materialize(p_shapes)
     v_shapes = jax.eval_shape(
         lambda k, z: vae.init(k, z, method=AutoencoderKL.decode), rng, x[:, 0]
     )
-    vae_params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), v_shapes)
+    vae_params = materialize(v_shapes)
     init_s = time.time() - t0
     n_params = sum(v.size for v in jax.tree_util.tree_leaves(params))
     log(f"# params materialized in {init_s:.1f}s ({n_params/1e9:.2f}B)")
@@ -130,7 +147,7 @@ def main():
     t0 = time.time()
     for attempt in range(3):
         try:
-            out = jax.block_until_ready(edit_clip(x0, jax.random.PRNGKey(2)))
+            out = hard_sync(edit_clip(x0, jax.random.PRNGKey(2)))
             break
         except Exception as e:  # transient remote-compile failures
             log(f"# compile attempt {attempt} failed: {type(e).__name__}: {e}")
@@ -143,7 +160,7 @@ def main():
     times = []
     for i in range(3):
         t0 = time.time()
-        out = jax.block_until_ready(edit_clip(x0, jax.random.PRNGKey(3 + i)))
+        out = hard_sync(edit_clip(x0, jax.random.PRNGKey(3 + i)))
         times.append(time.time() - t0)
     latency = min(times)
 

@@ -157,6 +157,16 @@ class AnnotatorEmbedder(Embedder):
                 if self.safe:
                     edge = safe_step(edge)
             out = jnp.repeat((1.0 - edge) * 2.0 - 1.0, 3, axis=-1)
+        elif self.kind == "normal_bae":
+            from .normalbae import NNET, detect_normalbae
+
+            assert self.backbone_params is not None, (
+                "normal_bae needs converted scannet.pt NNET weights"
+            )
+            # modules.py:1497-1524: input 0..1 ImageNet-normalized; output
+            # negated + clamped normals (3ch)
+            out = detect_normalbae(self.backbone_params,
+                                   (frames + 1.0) * 0.5, NNET())
         elif self.kind == "openpose":
             from .openpose import BodyEstimator, detect_openpose
 
@@ -247,6 +257,10 @@ def build_annotator(target_name: str, params: Dict) -> AnnotatorEmbedder:
             from .openpose import convert_bodypose
 
             backbone_params = convert_bodypose(sd)
+        elif kind == "normal_bae":
+            from .normalbae import convert_normalbae
+
+            backbone_params = convert_normalbae(sd)
     return AnnotatorEmbedder(
         kind,
         backbone=backbone,

@@ -128,3 +128,58 @@ class TestAnnotatorGating:
         emb_fake = AnnotatorEmbedder("depth_midas", allow_fake=True)
         out = emb_fake.embed(None, video)
         assert out.shape == (1, 2, 64, 64, 3)
+
+
+class TestZoeDepthParity:
+    """ZoeDepthN vs transformers' ZoeDepthForDepthEstimation (the public
+    implementation of the ZoeD_M12_N family the reference's DepthZoeEncoder
+    runs, modules.py:1289-1344) with a tiny random config."""
+
+    def _tiny(self):
+        from transformers import BeitConfig, ZoeDepthConfig, ZoeDepthForDepthEstimation
+
+        backbone = BeitConfig(
+            image_size=64, patch_size=16, hidden_size=32, num_hidden_layers=4,
+            num_attention_heads=4, intermediate_size=128,
+            use_relative_position_bias=True, use_mean_pooling=False,
+            out_features=["stage1", "stage2", "stage3", "stage4"],
+            reshape_hidden_states=False, layer_scale_init_value=0.1,
+            drop_path_rate=0.0, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+        )
+        cfg = ZoeDepthConfig(
+            backbone_config=backbone, neck_hidden_sizes=[16, 24, 32, 32],
+            fusion_hidden_size=32, bottleneck_features=32,
+            bin_embedding_dim=16, num_attractors=[4, 2, 2, 1],
+            num_relative_features=8,
+            bin_configurations=[{"n_bins": 8, "min_depth": 1e-3,
+                                 "max_depth": 10.0}],
+        )
+        return ZoeDepthForDepthEstimation(cfg).eval()
+
+    def test_forward_matches_hf(self):
+        import jax.numpy as jnp
+
+        from reference_compat import randomize_state_dict
+
+        from ccedit_tpu.conditioning.annotators.zoedepth import (
+            ZoeDepthN,
+            convert_zoedepth,
+        )
+
+        tm = self._tiny()
+        randomize_state_dict(tm, seed=100, scale=0.05)
+        x = torch.rand(1, 3, 64, 64, generator=torch.Generator().manual_seed(101))
+        with torch.no_grad():
+            ref = tm(pixel_values=x).predicted_depth.numpy()
+
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        params = convert_zoedepth(sd, layers=4)
+        jm = ZoeDepthN(hidden=32, heads=4, layers=4, patch=16,
+                       out_indices=(0, 1, 2, 3),
+                       neck_hidden=(16, 24, 32, 32), fusion_ch=32, n_bins=8,
+                       bin_embedding_dim=16, num_attractors=(4, 2, 2, 1),
+                       num_relative_features=8)
+        depth, rel = jm.apply({"params": params},
+                              jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(depth), ref, atol=5e-4, rtol=1e-2)

@@ -1,0 +1,254 @@
+"""NormalBae NNET parity: torch oracle implementing the NNET / geffnet
+tf_efficientnet architecture (vendored by the reference as
+src.controlnet11.annotator.normalbae) on a reduced spec, vs the flax
+implementation with converted weights."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from reference_compat import randomize_state_dict  # noqa: E402
+
+# reduced spec: (out_ch, repeats, kernel, stride, expand)
+STAGES = [(8, 1, 3, 1, 1), (8, 2, 3, 2, 6), (16, 1, 5, 2, 6),
+          (16, 1, 3, 2, 6), (16, 2, 5, 1, 6), (24, 1, 5, 2, 6),
+          (24, 1, 3, 1, 6)]
+STEM, HEAD = 8, 32
+UP_DIMS = (24, 16, 16, 8)
+
+
+def _pad_same(x, k, s):
+    ih, iw = x.shape[-2:]
+    pad_h = max((-(-ih // s) - 1) * s + k - ih, 0)
+    pad_w = max((-(-iw // s) - 1) * s + k - iw, 0)
+    return F.pad(x, (pad_w // 2, pad_w - pad_w // 2,
+                     pad_h // 2, pad_h - pad_h // 2))
+
+
+class _ConvSame(torch.nn.Module):
+    def __init__(self, i, o, k, s=1, groups=1, bias=False):
+        super().__init__()
+        self.k, self.s = k, s
+        self.conv = torch.nn.Conv2d(i, o, k, s, 0, groups=groups, bias=bias)
+
+    @property
+    def weight(self):
+        return self.conv.weight
+
+    def forward(self, x):
+        return self.conv(_pad_same(x, self.k, self.s))
+
+
+class _SE(torch.nn.Module):
+    def __init__(self, ch, reduced):
+        super().__init__()
+        self.conv_reduce = torch.nn.Conv2d(ch, reduced, 1)
+        self.conv_expand = torch.nn.Conv2d(reduced, ch, 1)
+
+    def forward(self, x):
+        s = x.mean([2, 3], keepdim=True)
+        s = self.conv_expand(F.silu(self.conv_reduce(s)))
+        return x * torch.sigmoid(s)
+
+
+class _MBConv(torch.nn.Module):
+    def __init__(self, i, o, k, s, e):
+        super().__init__()
+        self.has_skip = s == 1 and i == o
+        mid = i * e
+        self.expand = e
+        if e != 1:
+            self.conv_pw = _ConvSame(i, mid, 1)
+            self.bn1 = torch.nn.BatchNorm2d(mid, eps=1e-3)
+        self.conv_dw = _ConvSame(mid, mid, k, s, groups=mid)
+        bn_dw = torch.nn.BatchNorm2d(mid, eps=1e-3)
+        setattr(self, "bn2" if e != 1 else "bn1", bn_dw)
+        self.se = _SE(mid, max(1, i // 4))
+        proj = _ConvSame(mid, o, 1)
+        setattr(self, "conv_pwl" if e != 1 else "conv_pw", proj)
+        setattr(self, "bn3" if e != 1 else "bn2",
+                torch.nn.BatchNorm2d(o, eps=1e-3))
+
+    def forward(self, x):
+        inp = x
+        if self.expand != 1:
+            x = F.silu(self.bn1(self.conv_pw(x)))
+            x = F.silu(self.bn2(self.conv_dw(x)))
+            x = self.se(x)
+            x = self.bn3(self.conv_pwl(x))
+        else:
+            x = F.silu(self.bn1(self.conv_dw(x)))
+            x = self.se(x)
+            x = self.bn2(self.conv_pw(x))
+        if self.has_skip:
+            x = x + inp
+        return x
+
+
+class _Encoder(torch.nn.Module):
+    """geffnet-style walk with the original_model module layout."""
+
+    def __init__(self):
+        super().__init__()
+        m = torch.nn.Module()
+        m.conv_stem = _ConvSame(3, STEM, 3, 2)
+        m.bn1 = torch.nn.BatchNorm2d(STEM, eps=1e-3)
+        blocks = torch.nn.ModuleList()
+        in_ch = STEM
+        for (o, reps, k, s, e) in STAGES:
+            stage = torch.nn.ModuleList()
+            for r in range(reps):
+                stage.append(_MBConv(in_ch, o, k, s if r == 0 else 1, e))
+                in_ch = o
+            blocks.append(stage)
+        m.blocks = blocks
+        m.conv_head = _ConvSame(in_ch, HEAD, 1)
+        self.original_model = m
+
+    def forward(self, x):
+        m = self.original_model
+        x = F.silu(m.bn1(m.conv_stem(x)))
+        taps = []
+        for si, stage in enumerate(m.blocks):
+            for blk in stage:
+                x = blk(x)
+            if si in (0, 1, 2, 4):
+                taps.append(x)
+        taps.append(m.conv_head(x))
+        return taps
+
+
+class _UpBN(torch.nn.Module):
+    def __init__(self, skip_input, out):
+        super().__init__()
+        self._net = torch.nn.Sequential(
+            torch.nn.Conv2d(skip_input, out, 3, 1, 1),
+            torch.nn.BatchNorm2d(out), torch.nn.LeakyReLU(),
+            torch.nn.Conv2d(out, out, 3, 1, 1),
+            torch.nn.BatchNorm2d(out), torch.nn.LeakyReLU())
+
+    def forward(self, x, skip):
+        up = F.interpolate(x, size=skip.shape[2:], mode="bilinear",
+                           align_corners=True)
+        return self._net(torch.cat([up, skip], dim=1))
+
+
+def _norm_normalize(out):
+    xyz, kappa = out[:, :3], out[:, 3:]
+    norm = torch.sqrt((xyz ** 2).sum(1, keepdim=True) + 1e-10)
+    kappa = F.elu(kappa) + 1.0 + 0.01
+    return torch.cat([xyz / norm, kappa], dim=1)
+
+
+def _mlp(cin):
+    return torch.nn.Sequential(
+        torch.nn.Conv1d(cin, 128, 1), torch.nn.ReLU(),
+        torch.nn.Conv1d(128, 128, 1), torch.nn.ReLU(),
+        torch.nn.Conv1d(128, 128, 1), torch.nn.ReLU(),
+        torch.nn.Conv1d(128, 4, 1))
+
+
+class _Decoder(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv2 = torch.nn.Conv2d(HEAD, HEAD, 1)
+        self.up1 = _UpBN(HEAD + 16, UP_DIMS[0])
+        self.up2 = _UpBN(UP_DIMS[0] + 16, UP_DIMS[1])
+        self.up3 = _UpBN(UP_DIMS[1] + 8, UP_DIMS[2])
+        self.up4 = _UpBN(UP_DIMS[2] + 8, UP_DIMS[3])
+        self.out_conv_res8 = torch.nn.Conv2d(UP_DIMS[1], 4, 3, 1, 1)
+        self.out_conv_res4 = _mlp(UP_DIMS[2] + 4)
+        self.out_conv_res2 = _mlp(UP_DIMS[3] + 4)
+        self.out_conv_res1 = _mlp(UP_DIMS[3] + 4)
+
+    def forward(self, taps, sampling_ratio=0.4, importance_ratio=0.7):
+        s0, s1, s2, s4, head = taps
+        x = self.conv2(head)
+        x = self.up1(x, s4)
+        x_d2 = self.up2(x, s2)
+        out_res8 = _norm_normalize(self.out_conv_res8(x_d2))
+        feats_res4 = self.up3(x_d2, s1)
+        feats_res2 = self.up4(feats_res4, s0)
+        outs = [out_res8]
+        prev = out_res8
+        for stage, feat, mlp in (("res4", feats_res4, self.out_conv_res4),
+                                 ("res2", feats_res2, self.out_conv_res2),
+                                 ("res1", feats_res2, self.out_conv_res1)):
+            if stage == "res1":
+                feat = F.interpolate(feat, scale_factor=2, mode="bilinear",
+                                     align_corners=True)
+            b, c, fh, fw = feat.shape
+            init = F.interpolate(prev, size=(fh, fw), mode="bilinear",
+                                 align_corners=True)
+            init = _norm_normalize(init)
+            n_pix = fh * fw
+            k = max(1, int(n_pix * sampling_ratio * importance_ratio))
+            unc = (-init[:, 3]).reshape(b, n_pix)
+            idx = torch.topk(unc, k, dim=1).indices  # (B, k)
+            flat = torch.cat([feat, init], 1).reshape(b, c + 4, n_pix)
+            sampled = torch.gather(
+                flat, 2, idx.unsqueeze(1).expand(-1, c + 4, -1))
+            pred = _norm_normalize(mlp(sampled))
+            refined = init.reshape(b, 4, n_pix).clone()
+            refined.scatter_(2, idx.unsqueeze(1).expand(-1, 4, -1), pred)
+            prev = refined.reshape(b, 4, fh, fw)
+            outs.append(prev)
+        return outs
+
+
+class _TorchNNET(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.encoder = _Encoder()
+        self.decoder = _Decoder()
+
+    def forward(self, x):
+        return self.decoder(self.encoder(x))
+
+
+class TestNormalBaeParity:
+    def test_forward_matches(self):
+        import jax.numpy as jnp
+
+        from ccedit_tpu.conditioning.annotators.normalbae import (
+            NNET,
+            convert_normalbae,
+        )
+
+        tm = _TorchNNET().eval()
+        randomize_state_dict(tm, seed=110, scale=0.05)
+        sd = tm.state_dict()
+        for k in sd:  # keep BN stats sane
+            if "running_var" in k:
+                sd[k] = torch.abs(sd[k]) + 0.5
+        tm.load_state_dict(sd)
+
+        x = torch.rand(1, 3, 64, 64, generator=torch.Generator().manual_seed(111))
+        with torch.no_grad():
+            refs = [r.numpy() for r in tm(x)]
+
+        # strip the _ConvSame wrapper's .conv level to the geffnet key layout
+        flat = {}
+        for k, v in tm.state_dict().items():
+            flat[k.replace(".conv.weight", ".weight")
+                  .replace(".conv.bias", ".bias")] = v.numpy()
+        params = convert_normalbae(flat, stages=STAGES)
+        jm = NNET(stem_ch=STEM, head_ch=HEAD, stages=tuple(STAGES),
+                  up_dims=UP_DIMS)
+        outs = jm.apply({"params": params},
+                        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        assert len(outs) == 4
+        # res8 (pre-refinement) must match exactly
+        np.testing.assert_allclose(
+            np.asarray(outs[0]).transpose(0, 3, 1, 2), refs[0],
+            atol=2e-3, rtol=1e-2)
+        # refined stages: torch.topk and jax.lax.top_k break EXACT kappa
+        # ties (bilinear upsampling duplicates values) differently; the few
+        # differently-chosen pixels then cascade into later stages' inputs.
+        # The algorithm is otherwise identical — require >=95% agreement.
+        for ours, theirs in zip(outs[1:], refs[1:]):
+            ours = np.asarray(ours).transpose(0, 3, 1, 2)
+            close = np.isclose(ours, theirs, atol=2e-3, rtol=1e-2)
+            assert close.mean() > 0.95, f"only {close.mean():.3%} match"
