@@ -108,11 +108,12 @@ def main():
     guider = VanillaCFG(scale=7.5)
     uc = {**cond, "crossattn": jnp.ones_like(cond["crossattn"])}
     cond_cat = guider.prepare_cond(cond, uc)
-    # segment the denoise scan into multiple device executions: single calls
-    # >~2 min hit the axon per-execution RPC timeout at full resolution
-    rows = 2 * steps - 1
-    default_seg = 16 if rows > 24 else 0  # short runs: identity padding would waste evals
-    segment = int(os.environ.get("BENCH_SEGMENT", default_seg))
+    # one device execution for the whole scan: with bf16 param storage the
+    # full 59-row program runs well inside the axon per-execution RPC window
+    # (measured ~60-95s; first compile+run ~130s also completes).  Segmented
+    # mode (BENCH_SEGMENT=N) remains as the fallback for slower configs —
+    # it costs padded evals + per-segment dispatch.
+    segment = int(os.environ.get("BENCH_SEGMENT", 0))
     sampler = make_sampler(
         "dpmpp_2s_ancestral",
         discretization=LegacyDDPMDiscretization(),

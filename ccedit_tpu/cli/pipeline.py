@@ -185,6 +185,15 @@ def load_params(engine, args, example_batch) -> Dict:
         converted = _convert_ckpt(engine, args.ckpt_path)
         params = _merge_params(params, converted)
         engine._wire_vae_embedders(params["vae"])
+    if getattr(args, "bf16", False):
+        # store weights in the compute dtype: fp32 storage costs ~17s/clip of
+        # in-program fp32->bf16 casts on v5e (6.4GB read + 3.2GB write per
+        # execution) before any math happens (docs/PERF_r2.md)
+        params = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.bfloat16)
+            if hasattr(v, "dtype") and v.dtype == jnp.float32 else v,
+            params,
+        )
     return params
 
 

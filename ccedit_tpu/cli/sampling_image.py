@@ -46,6 +46,8 @@ def main():
     p.add_argument("--save_path", type=str, default="outputs/demo/txt2img")
     p.add_argument("--tokenizer_assets", type=str, default="")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fake_annotator", action="store_true",
+                   help="allow pseudo-depth stand-ins for weightless annotators")
     p.add_argument("--watermark", action="store_true",
                    help="embed the SDV2 invisible watermark in outputs")
     p.add_argument("--safety_clip_ckpt", type=str, default="",
@@ -59,6 +61,12 @@ def main():
     engine = build_engine(cfg, asset_dir=args.tokenizer_assets or None,
                           dtype=dtype, guider_scale=args.cfg_scale)
     engine.guider = VanillaCFG(scale=args.cfg_scale)
+    if args.fake_annotator:
+        from ..conditioning.annotators.base import AnnotatorEmbedder
+
+        for spec in engine.conditioner.specs:
+            if isinstance(spec.embedder, AnnotatorEmbedder):
+                spec.embedder.allow_fake = True
 
     strength = args.img2img_strength if args.init_image else None
     engine.sampler = make_sampler(
@@ -71,6 +79,24 @@ def main():
 
     batch = {"txt": [args.prompt]}
     batch_uc = {"txt": [args.negative_prompt]}
+    # a video-model config may carry extra conditioner inputs (control_hint,
+    # cond_img); feed the init image (or black frames) so the 2D edit runs
+    # with any config (the auto_pipeline reuses the tvi2v config by default)
+    extra_src = None
+    if args.init_image:
+        extra_src = load_image(args.init_image, (args.H, args.W))
+    for spec in engine.conditioner.specs:
+        key = spec.input_key
+        if key in batch or key == "txt":
+            continue
+        if key in ("control_hint",):
+            img = extra_src if extra_src is not None else np.zeros(
+                (args.H, args.W, 3), np.float32) - 1.0
+            batch[key] = batch_uc[key] = img[None, None]
+        elif key in ("cond_img",):
+            img = extra_src if extra_src is not None else np.zeros(
+                (args.H, args.W, 3), np.float32) - 1.0
+            batch[key] = batch_uc[key] = img[None]
     params = load_params(engine, args, batch)
     c, uc = engine.conditioner.get_unconditional_conditioning(
         params["conditioner"], batch, batch_uc
@@ -97,10 +123,20 @@ def main():
 
         watermarker = WatermarkEmbedder()
 
-    z_shape = (1, args.H // 8, args.W // 8, 4)
+    # a pseudo-3D (video) model samples a single-frame clip; plain 2D models
+    # keep 4-D latents (the auto_pipeline reuses the tvi2v config by default)
+    video_mode = getattr(getattr(engine.network, "unet", None),
+                         "unet_type", "2d") != "2d"
+    f = engine.latent_factor
+    if video_mode:
+        z_shape = (1, 1, args.H // f, args.W // f, 4)
+    else:
+        z_shape = (1, args.H // f, args.W // f, 4)
     x_prior = None
     if args.init_image:
         img = load_image(args.init_image, (args.H, args.W))[None]
+        if video_mode:
+            img = img[None]
         x_prior = engine.encode_first_stage(params, jnp.asarray(img))
 
     for i in range(args.num_samples):
@@ -116,6 +152,8 @@ def main():
         else:
             latents = engine.sample(params, c, uc, z_shape, k)
         img_out = engine.decode_first_stage(params, latents)
+        if video_mode:
+            img_out = img_out[:, 0]
         img01 = (jnp.clip(img_out, -1.0, 1.0) + 1.0) / 2.0
         if sample_filter is not None:
             img01 = sample_filter(img01)

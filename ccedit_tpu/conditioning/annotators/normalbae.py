@@ -26,7 +26,6 @@ architecture and the weight conversion.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn

@@ -23,7 +23,6 @@ Weight conversion accepts the HF ZoeDepth state_dict layout.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn

@@ -89,7 +89,27 @@ def load_video_keyframes(
     size_hw: Tuple[int, int] = (512, 768),
 ) -> np.ndarray:
     """Returns (T, H, W, 3) float32 in [-1, 1]."""
+    from . import native_decode
+
     p = str(path)
+    if p.lower().endswith(VIDEO_EXTS) and native_decode.available():
+        # native path: probe frame count + fps cheaply, then decode + resize
+        # the selected keyframes in C++ (decord-equivalent; native_decode.py)
+        import cv2
+
+        cap = cv2.VideoCapture(p)
+        if not cap.isOpened():
+            raise IOError(f"cannot open video {p}")
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        fps = origin_fps or (cap.get(cv2.CAP_PROP_FPS) or 30.0)
+        cap.release()
+        if n > 0:
+            idx = select_keyframe_indices(n, fps, target_fps, num_keyframes)
+            try:
+                return native_decode.decode_clip(p, idx, size_hw[0], size_hw[1])
+            except IOError:
+                pass  # container lied about frame count; python fallback
+
     if os.path.isdir(p):
         frames = _read_frames_dir(p)
         fps = origin_fps or 30.0

@@ -195,3 +195,43 @@ class TestPipelineUnits:
         assert mask.shape == (1, 2, 2, 2, 1)
         assert mask[0, 0, 0, 0, 0] == 1.0
         assert mask[0, 0, 1, 1, 0] == 0.0
+
+
+class TestAutoPipeline:
+    def test_chain_invokes_steps_with_expected_argv(self, monkeypatch, clip_dir, tmp_path):
+        """Glue-level test: centerframe runs for real; the edit + tvi2v steps
+        are captured and their argv checked (end-to-end device smoke covers
+        the full chain)."""
+        import sys
+        from pathlib import Path
+
+        from ccedit_tpu.cli import auto_pipeline
+
+        calls = {}
+
+        def fake_image_main():
+            calls["image"] = list(sys.argv[1:])
+            out = Path([a for f, a in zip(sys.argv, sys.argv[1:])
+                        if f == "--save_path"][0])
+            out.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+                out / "sample_000.png")
+
+        def fake_tvi2v_main():
+            calls["tvi2v"] = list(sys.argv[1:])
+
+        monkeypatch.setattr("ccedit_tpu.cli.sampling_image.main", fake_image_main)
+        monkeypatch.setattr("ccedit_tpu.cli.sampling_tv2v_ref.main", fake_tvi2v_main)
+        monkeypatch.setattr(
+            sys, "argv",
+            ["auto", "--video_path", clip_dir, "--prompt", "x",
+             "--config_path", "cfg.yaml", "--H", "64", "--W", "64",
+             "--num_keyframes", "3", "--sample_steps", "2",
+             "--fake_annotator", "--save_path", str(tmp_path / "auto")])
+        auto_pipeline.main()
+        assert (tmp_path / "auto" / "centerframe.png").exists()
+        assert "--init_image" in calls["image"]
+        assert "--fake_annotator" in calls["image"]
+        ref_idx = calls["tvi2v"].index("--reference_path") + 1
+        assert calls["tvi2v"][ref_idx].endswith("sample_000.png")
+        assert "--prior_type" in calls["tvi2v"]

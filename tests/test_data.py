@@ -82,3 +82,71 @@ class TestDatasets:
         ])
         assert out["a"].shape == (2, 2)
         assert out["t"] == ["x", "y"]
+
+
+class TestNativeDecode:
+    """Native C++ decode pipeline (decord equivalent): synchronous and
+    threaded-pool decoding must match the python/cv2 loader."""
+
+    @pytest.fixture(scope="class")
+    def clip(self, tmp_path_factory):
+        cv2 = pytest.importorskip("cv2")
+        d = tmp_path_factory.mktemp("vids")
+        path = str(d / "clip.mp4")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 12.0,
+                             (48, 32))
+        rng = np.random.RandomState(0)
+        frames = (rng.rand(10, 32, 48, 3) * 255).astype(np.uint8)
+        for f in frames:
+            vw.write(f[:, :, ::-1].copy())
+        vw.release()
+        return path, frames
+
+    def test_sync_decode_matches_python_loader(self, clip):
+        from ccedit_tpu.data import native_decode
+        from ccedit_tpu.data.video import load_video_keyframes
+
+        if not native_decode.available():
+            pytest.skip("native decode library not built")
+        path, _ = clip
+        native = native_decode.decode_clip(path, [0, 2, 4], 32, 48)
+        assert native.shape == (3, 32, 48, 3)
+        assert native.min() >= -1.0 and native.max() <= 1.0
+        # the full loader routes through the native path for videos; the
+        # codec roundtrip is identical either way at identical indices
+        full = load_video_keyframes(path, origin_fps=12, target_fps=6,
+                                    num_keyframes=3, size_hw=(32, 48))
+        np.testing.assert_allclose(full, native, atol=1e-6)
+
+    def test_pool_parallel_jobs(self, clip):
+        from ccedit_tpu.data import native_decode
+
+        if not native_decode.available():
+            pytest.skip("native decode library not built")
+        path, _ = clip
+        pool = native_decode.DecodePool(n_threads=2)
+        jobs = [pool.submit_clip(path, [0, 1, 2, 3], 32, 48)
+                for _ in range(4)]
+        outs = [pool.wait(j) for j in jobs]
+        pool.close()
+        for o in outs[1:]:
+            np.testing.assert_array_equal(o, outs[0])
+
+    def test_image_list_decode(self, clip, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from ccedit_tpu.data import native_decode
+
+        if not native_decode.available():
+            pytest.skip("native decode library not built")
+        rng = np.random.RandomState(1)
+        paths = []
+        for i in range(3):
+            img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+            p = str(tmp_path / f"f{i}.png")
+            cv2.imwrite(p, img[:, :, ::-1])
+            paths.append(p)
+        out = native_decode.decode_images(paths, 16, 16)
+        assert out.shape == (3, 16, 16, 3)
+        # png is lossless: exact value roundtrip through [-1,1]
+        img0 = cv2.imread(paths[0])[:, :, ::-1].astype(np.float32)
+        np.testing.assert_allclose(out[0], img0 / 127.5 - 1.0, atol=1e-6)
