@@ -182,3 +182,41 @@ class TestInceptionParity:
         out = jm.apply({"params": params},
                        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))[0]
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-2)
+
+
+class TestFID:
+    def test_identical_distributions_give_zero(self):
+        from ccedit_tpu.utils.fid import frechet_distance, statistics
+
+        rng = np.random.RandomState(0)
+        feats = rng.randn(64, 8)
+        mu, sigma = statistics(feats)
+        assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+    def test_shifted_distribution_increases(self):
+        from ccedit_tpu.utils.fid import frechet_distance, statistics
+
+        rng = np.random.RandomState(1)
+        a = rng.randn(128, 8)
+        b = rng.randn(128, 8) + 2.0
+        d = frechet_distance(*statistics(a), *statistics(b))
+        assert d > 8.0  # ~ ||2*ones||^2 = 32 minus estimation noise
+
+    def test_activations_pipeline_runs(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ccedit_tpu.modules.inception import InceptionV3
+        from ccedit_tpu.utils.fid import activations
+
+        # tiny substitute backbone keeps the test fast: reuse the real model
+        # class but at reduced input via resize_input (299 is heavy on CPU);
+        # just verify batching and output shape on a handful of frames
+        model = InceptionV3(resize_input=True, normalize_input=True)
+        params = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+        params = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), params)["params"]
+        imgs = [np.random.RandomState(i).rand(32, 32, 3) for i in range(3)]
+        feats = activations(params, imgs, batch_size=2)
+        assert feats.shape == (3, 2048)

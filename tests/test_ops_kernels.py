@@ -31,30 +31,3 @@ class TestSmallSeqAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, rtol=1e-4)
 
-
-class TestSpatialAttention:
-    def test_matches_reference_math(self):
-        from ccedit_tpu.ops.spatial_attention import spatial_attention
-
-        rng = np.random.RandomState(2)
-        q = rng.randn(2, 2, 16, 8).astype(np.float32)
-        k = rng.randn(2, 2, 16, 8).astype(np.float32)
-        v = rng.randn(2, 2, 16, 8).astype(np.float32)
-        s = np.einsum("bhqd,bhkd->bhqk", q, k) * 8 ** -0.5
-        w = np.exp(s - s.max(-1, keepdims=True))
-        w /= w.sum(-1, keepdims=True)
-        ref = np.einsum("bhqk,bhkd->bhqd", w, v)
-        out = spatial_attention(jnp.asarray(q), jnp.asarray(k),
-                                jnp.asarray(v), 8 ** -0.5, block_q=8)
-        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
-
-    def test_cross_attention_shapes(self):
-        from ccedit_tpu.ops.spatial_attention import spatial_attention
-
-        q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 32, 8))
-        k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 16, 8))
-        v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 16, 8))
-        out = spatial_attention(q, k, v, 8 ** -0.5, block_q=16)
-        ref = dot_product_attention(q, k, v, force_xla=True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=1e-5, rtol=1e-4)
