@@ -371,7 +371,11 @@ def run_pipeline(args, reference_mode: bool = False):
             )
 
             f = engine.latent_factor
-            z_shape = (1, args.num_keyframes, args.H // f, args.W // f, 4)
+            # batch samples per device call (sampling_tv2v.py batch_size):
+            # num_samples are drawn in chunks of batch_size with the
+            # conditioning repeated along the batch axis
+            bs = max(1, min(args.batch_size, args.num_samples))
+            z_shape = (bs, args.num_keyframes, args.H // f, args.W // f, 4)
             x_prior = None
             if args.prior_coefficient_x != 0 or sdedit or args.inpainting_mode:
                 z_video = engine.encode_first_stage(params, jnp.asarray(video))
@@ -422,16 +426,27 @@ def run_pipeline(args, reference_mode: bool = False):
             outputs = []
             t0 = time.time()
             zeros = jnp.zeros(z_shape)
-            prior_arg = x_prior if x_prior is not None else zeros
-            ip_x0_arg = inpaint_x0 if inpaint_x0 is not None else zeros
-            ip_mask_arg = inpaint_mask if inpaint_mask is not None else zeros
+
+            def rep(tree):
+                return jax.tree_util.tree_map(
+                    lambda v: jnp.repeat(v, bs, axis=0)
+                    if hasattr(v, "ndim") and v.ndim > 0 and v.shape[0] == 1
+                    else v, tree)
+
+            c_b, uc_b = (rep(c), rep(uc)) if bs > 1 else (c, uc)
+            prior_arg = rep(x_prior) if x_prior is not None else zeros
+            ip_x0_arg = rep(inpaint_x0) if inpaint_x0 is not None else zeros
+            ip_mask_arg = rep(inpaint_mask) if inpaint_mask is not None else zeros
             try:
-                for s in range(args.num_samples):
+                remaining = args.num_samples
+                while remaining > 0:
                     rng, k = jax.random.split(rng)
-                    latents = sample_jit(params, c, uc, k, prior_arg,
+                    latents = sample_jit(params, c_b, uc_b, k, prior_arg,
                                          ip_x0_arg, ip_mask_arg)
-                    decoded = decode_jit(params, latents)
-                    outputs.append(np.asarray(decoded[0]))
+                    decoded = np.asarray(decode_jit(params, latents))
+                    take = min(bs, remaining)
+                    outputs.extend(decoded[i] for i in range(take))
+                    remaining -= take
             except Exception as e:  # per-job fault tolerance (:312-328)
                 print(f"[error] {job_key}: sampling failed: {e}")
                 continue

@@ -136,6 +136,14 @@ class TestCliPipeline:
         run_with_tiny_engine(monkeypatch, args)
         assert len(json.loads((out / "log_info.json").read_text())) == 1
 
+    def test_batched_num_samples(self, monkeypatch, clip_dir, tmp_path):
+        # num_samples=2 with batch_size=2: both samples in ONE device batch
+        args = make_args(clip_dir, str(tmp_path / "o_batch"), num_samples=2,
+                         batch_size=2)
+        run_with_tiny_engine(monkeypatch, args)
+        outs = sorted((tmp_path / "o_batch").glob("*_0*.gif"))
+        assert len(outs) == 2
+
     def test_sdedit_run(self, monkeypatch, clip_dir, tmp_path):
         args = make_args(clip_dir, str(tmp_path / "out"),
                          sdedit_denoise_strength=0.5)
