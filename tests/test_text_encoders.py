@@ -194,3 +194,53 @@ class TestOpenCLIPVisionParity:
                                    rtol=1e-3)
         np.testing.assert_allclose(np.asarray(tokens), tokens_ref, atol=2e-4,
                                    rtol=1e-3)
+
+
+class TestEmbedderWrappers:
+    """Wrapper-level smoke tests: prepare/init/embed contracts of the new
+    conditioning embedders (tiny dims; parity is pinned separately)."""
+
+    def test_clipt5_combo_returns_pair(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ccedit_tpu.conditioning.embedders import CLIPT5Embedder
+
+        e = CLIPT5Embedder(t5_version="google/t5-v1_1-small")
+        # shrink the towers for test speed
+        from ccedit_tpu.modules.clip import CLIPTextModel
+        from ccedit_tpu.modules.t5 import T5Encoder
+
+        e.clip.model = CLIPTextModel(width=32, heads=4, layers=2)
+        e.t5.model = T5Encoder(vocab_size=384, d_model=32, d_kv=8, d_ff=64,
+                               heads=4, layers=2)
+        e.t5.variant = "byt5"
+        prep = e.prepare(["hi there"])
+        params = e.init_params(jax.random.PRNGKey(0), prep)
+        out = e.embed(params, prep)
+        assert isinstance(out, list) and len(out) == 2
+        assert out[0].shape[0] == 1 and out[1].shape[0] == 1
+
+    def test_openclip_image_embedder_pipeline(self):
+        import jax
+        import numpy as np
+
+        from ccedit_tpu.conditioning.embedders import OpenCLIPImageEmbedder
+        from ccedit_tpu.modules.openclip import OpenCLIPVisionModel
+
+        e = OpenCLIPImageEmbedder(repeat_to_max_len=True, max_length=7)
+        e.model = OpenCLIPVisionModel(image_size=224, patch_size=56, width=32,
+                                      heads=4, layers=1, output_dim=16)
+        x = np.random.RandomState(0).rand(2, 64, 48, 3) * 2 - 1
+        prep = e.prepare(x)
+        assert prep.shape == (2, 224, 224, 3)
+        params = e.init_params(jax.random.PRNGKey(0), prep)
+        z_rep, z = e.embed(params, prep)
+        assert z_rep.shape == (2, 7, 16) and z.shape == (2, 16)
+
+    def test_t5_spm_requirement_message(self):
+        from ccedit_tpu.conditioning.embedders import T5TextEmbedder
+
+        e = T5TextEmbedder(version="google/t5-v1_1-small")
+        with pytest.raises(AssertionError, match="spm_path"):
+            e.prepare(["needs sentencepiece"])
