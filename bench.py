@@ -116,7 +116,9 @@ def main():
     # always completed under the driver.  bf16 param storage removes the
     # in-program weight-cast overhead either way.
     rows = 2 * steps - 1
-    default_seg = 16 if rows > 24 else 0
+    # 59 rows: segment 15 -> 4 executions of 15 rows (1 padded row) vs the
+    # old 16 -> 64 rows (5 wasted evals ~= 4-5s)
+    default_seg = 15 if rows > 24 else 0
     segment = int(os.environ.get("BENCH_SEGMENT", default_seg))
     sampler = make_sampler(
         "dpmpp_2s_ancestral",

@@ -132,7 +132,9 @@ def load_engine(args, num_steps: int):
         rows = 2 * num_steps - 1
         pixels = args.H * args.W * args.num_keyframes
         if rows > 24 and pixels > 8 * 256 * 256:
-            extra["segment_size"] = 16
+            # pick the segment size (12..20) minimizing padded rows
+            extra["segment_size"] = min(
+                range(12, 21), key=lambda s: (-(-rows // s) * s - rows, -s))
     engine.sampler = make_sampler(
         SAMPLER_NAMES[args.sampler_name],
         discretization=make_discretization(
