@@ -143,7 +143,8 @@ def _sharded_attention(q, k, v, scale, force_xla, mesh, axis):
     n = mesh.shape[axis]
     kern = lambda qq, kk, vv: _attention_kernel(qq, kk, vv, scale, force_xla)
     if q.shape[0] % n == 0:
-        # frame sharding: attention batch is the folded (b t) axis
+        # batch sharding: the folded (b t) axis for spatial attention, or
+        # the folded (b h w) axis for temporal attention under clip sharding
         spec = P(axis, None, None, None)
         fn = shard_map(kern, mesh=mesh, in_specs=(spec, spec, spec),
                        out_specs=spec)
@@ -154,7 +155,9 @@ def _sharded_attention(q, k, v, scale, force_xla, mesh, axis):
         fn = shard_map(kern, mesh=mesh, in_specs=(qspec, P(), P()),
                        out_specs=qspec)
         return fn(q, k, v)
-    return _attention_kernel(q, k, v, scale, force_xla)
+    # no clean split: GSPMD cannot partition a pallas_call, so fall back to
+    # the plain-einsum path which it CAN shard
+    return _xla_attention(q, k, v, scale)
 
 
 def dot_product_attention(
@@ -172,7 +175,9 @@ def dot_product_attention(
     if scale is None:
         scale = float(np.asarray(q.shape[-1], dtype=np.float64) ** -0.5)
     mesh = _MESH_CTX["mesh"]
-    if mesh is not None and q.shape[-2] >= 512:
+    if mesh is not None and (q.shape[-2] >= 512 or _small_seq_ok(q, k)):
+        # any pallas-eligible attention must run under shard_map when a mesh
+        # is active — GSPMD cannot partition pallas_call operands
         return _sharded_attention(q, k, v, scale, force_xla, mesh,
                                   _MESH_CTX["axis"])
     return _attention_kernel(q, k, v, scale, force_xla)
