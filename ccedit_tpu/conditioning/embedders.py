@@ -108,13 +108,30 @@ class VAEEmbedder(Embedder):
     determinism (the reference samples; mode is the variance-free choice and
     is what parity tests pin)."""
 
-    def __init__(self, vae_apply=None, scale_factor: float = 0.18215):
+    def __init__(self, vae_apply=None, scale_factor: float = 0.18215,
+                 down_blur_factor=None, down_blur_probs=None, seed: int = 0):
         self.vae_apply = vae_apply  # set by the engine: (x) -> latent moments
         self.scale_factor = scale_factor
+        # optional train-time down-blur augmentation (modules.py:997-1016)
+        self.down_blur_factor = list(down_blur_factor or [])
+        self.down_blur_probs = list(down_blur_probs or [])
+        self._rng = np.random.default_rng(seed)
 
     def embed(self, params, prepared):
         assert self.vae_apply is not None, "VAEEmbedder not wired to a VAE"
         x = jnp.asarray(prepared)
+        if self.down_blur_factor:
+            factor = float(self._rng.choice(
+                self.down_blur_factor,
+                p=self.down_blur_probs if self.down_blur_probs else None))
+            if factor > 1.0:
+                shape = list(x.shape)
+                h_ax, w_ax = x.ndim - 3, x.ndim - 2
+                small = list(shape)
+                small[h_ax] = int(shape[h_ax] / factor)
+                small[w_ax] = int(shape[w_ax] / factor)
+                x = jax.image.resize(x, small, method="bilinear")
+                x = jax.image.resize(x, shape, method="bilinear")
         return self.vae_apply(x)
 
 

@@ -74,3 +74,16 @@ def replicate(plan: MeshPlan, tree):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, plan.replicated()), tree
     )
+
+
+def initialize_distributed() -> bool:
+    """Multi-host bring-up (the reference's LOCAL_RANK/OMPI env bridging +
+    DDP init, main.py:705-707,814-831): call jax.distributed.initialize when
+    the standard coordinator envs are present; no-op single-host."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False

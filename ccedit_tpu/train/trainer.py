@@ -246,8 +246,16 @@ class Trainer:
         def _on_usr1(signum, frame):
             usr1_flag["save"] = True
 
+        def _on_usr2(signum, frame):
+            # the reference drops into pudb (main.py:975-983); headless
+            # equivalent: dump all thread stacks for live diagnosis
+            import faulthandler
+
+            faulthandler.dump_traceback()
+
         try:
             prev_handler = signal.signal(signal.SIGUSR1, _on_usr1)
+            signal.signal(signal.SIGUSR2, _on_usr2)
         except (ValueError, OSError):
             prev_handler = None  # non-main thread; hook unavailable
 

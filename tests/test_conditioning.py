@@ -308,3 +308,18 @@ class TestSafetyAndWatermark:
         x = np.random.RandomState(2).rand(2, 3, 16, 16, 4).astype(np.float32)
         out = e.embed(None, x)
         assert out.shape == (2, 3, 16, 16, 12)
+
+    def test_detect_watermark_cli_roundtrip(self, tmp_path):
+        from PIL import Image
+
+        from ccedit_tpu.cli.detect_watermark import detect
+        from ccedit_tpu.utils.watermark import WatermarkEmbedder
+
+        img = np.random.RandomState(3).rand(1, 32, 64, 3).astype(np.float32)
+        marked = WatermarkEmbedder()(img)
+        p_clean = tmp_path / "clean.png"
+        p_marked = tmp_path / "marked.png"
+        Image.fromarray((img[0] * 255).astype(np.uint8)).save(p_clean)
+        Image.fromarray(np.round(marked[0] * 255).astype(np.uint8)).save(p_marked)
+        assert detect(str(p_marked))
+        assert not detect(str(p_clean))
