@@ -74,13 +74,33 @@ def apply_dotlist(cfg: Dict, overrides: Sequence[str]) -> Dict:
     return cfg
 
 
+class _LenientLoader(yaml.SafeLoader):
+    """SafeLoader that repairs undefined aliases to null: the reference's
+    shipped training YAMLs contain `*Key` with no `&Key` anchor
+    (sd_1_5_controlldm-test-tv2v-depthmidas.yaml:162) — strict YAML (and the
+    reference itself) would crash; we load them with a warning instead."""
+
+    def compose_node(self, parent, index):
+        import yaml.events as ev
+
+        if self.check_event(ev.AliasEvent):
+            anchor = self.peek_event().anchor
+            if anchor not in self.anchors:
+                import warnings
+
+                self.get_event()
+                warnings.warn(f"undefined YAML alias *{anchor} -> null")
+                return yaml.ScalarNode("tag:yaml.org,2002:null", "null")
+        return super().compose_node(parent, index)
+
+
 def load_config(paths: Sequence[str] | str, overrides: Sequence[str] = ()) -> Dict:
     if isinstance(paths, (str, Path)):
         paths = [paths]
     cfg: Dict = {}
     for p in paths:
         with open(p) as f:
-            cfg = _deep_merge(cfg, yaml.safe_load(f) or {})
+            cfg = _deep_merge(cfg, yaml.load(f, Loader=_LenientLoader) or {})
     return apply_dotlist(cfg, overrides)
 
 
@@ -371,7 +391,11 @@ def build_loss(cfg: Optional[Dict]) -> Optional[StandardDiffusionLoss]:
     p = _params(cfg)
     ss_cfg = p.get("sigma_sampler_config", {"target": "DiscreteSampling"})
     ss_name = {"EDMSampling": "edm", "DiscreteSampling": "discrete"}[_tname(ss_cfg)]
-    sigma_sampler = make_sigma_sampler(ss_name, **_params(ss_cfg))
+    ss_params = _params(ss_cfg)
+    if "discretization_config" in ss_params:  # training YAMLs nest it
+        ss_params["discretization"] = build_discretization(
+            ss_params.pop("discretization_config"))
+    sigma_sampler = make_sigma_sampler(ss_name, **ss_params)
     return StandardDiffusionLoss(
         sigma_sampler=sigma_sampler,
         loss_type=p.get("type", "l2"),

@@ -101,3 +101,29 @@ class TestYamlCompat:
             },
         })
         assert len(s.get_sigmas()) == 11
+
+
+class TestTrainingYamls:
+    """The shipped TRAINING YAMLs must also build end-to-end (engine +
+    conditioner + loss pieces), not just the inference ones."""
+
+    @pytest.mark.parametrize("name", [
+        "sd_1_5_controlldm-test-tv2v-depthmidas.yaml",
+        "sd_1_5_controlldm-test-tvi2v-cp-no2ndca-add-cfca-depthmidas.yaml",
+        "sd_1_5_controlldm-test-cp-no2ndca-add-cfca-depthmidas.yaml",
+    ])
+    def test_training_config_builds(self, name):
+        from pathlib import Path
+
+        path = f"/root/reference/configs/example_training/{name}"
+        if not Path(path).exists():
+            pytest.skip("reference configs unavailable")
+        cfg = load_config(path)
+        engine = build_engine(cfg)
+        assert engine.network is not None
+        assert engine.conditioner.specs
+        # training sections parse: freeze policy resolves to a known mask
+        freeze = cfg["model"]["params"].get("freeze_model", "none")
+        from ccedit_tpu.train.freeze import FREEZE_POLICIES
+
+        assert freeze in FREEZE_POLICIES or freeze == "none"
