@@ -283,6 +283,49 @@ def build_vae(cfg: Dict, dtype=jnp.float32) -> AutoencoderKL:
     )
 
 
+
+# ---- autoencoder training engine ------------------------------------------
+
+def build_autoencoder_engine(cfg: Dict):
+    """Map the reference autoencoder training YAML
+    (configs/example_training/autoencoder/.../imagenet-attnfree-logvar.yaml)
+    onto the AutoencodingEngine: encoder/decoder geometry (the two sections
+    always agree in the shipped files), GeneralLPIPSWithDiscriminator loss
+    knobs, DiagonalGaussian regularizer weights."""
+    from .models.autoencoder_engine import (
+        AutoencodingEngine,
+        LPIPSWithDiscriminatorConfig,
+    )
+
+    p = _params(cfg.get("model", cfg))
+    enc = _params(p.get("encoder_config", {}))
+    ae = AutoencoderKL(
+        ch=enc.get("ch", 128),
+        ch_mult=tuple(enc.get("ch_mult", (1, 2, 4, 4))),
+        num_res_blocks=enc.get("num_res_blocks", 2),
+        attn_resolutions=tuple(enc.get("attn_resolutions", ())),
+        in_channels=enc.get("in_channels", 3),
+        out_ch=enc.get("out_ch", 3),
+        z_channels=enc.get("z_channels", 4),
+        resolution=enc.get("resolution", 256),
+    )
+    lp = _params(p.get("loss_config", {}))
+    loss_cfg = LPIPSWithDiscriminatorConfig(
+        disc_start=int(lp.get("disc_start", 0)),
+        logvar_init=float(lp.get("logvar_init", 0.0)),
+        pixelloss_weight=float(lp.get("pixelloss_weight", 1.0)),
+        disc_num_layers=int(lp.get("disc_num_layers", 3)),
+        disc_in_channels=int(lp.get("disc_in_channels", 3)),
+        disc_factor=float(lp.get("disc_factor", 1.0)),
+        disc_weight=float(lp.get("disc_weight", 1.0)),
+        perceptual_weight=float(lp.get("perceptual_weight", 1.0)),
+        disc_loss=lp.get("disc_loss", "hinge"),
+        learn_logvar=bool(lp.get("learn_logvar", False)),
+        regularization_weights=lp.get("regularization_weights"),
+    )
+    return AutoencodingEngine(ae, loss_cfg)
+
+
 # ---- conditioner ----------------------------------------------------------
 
 def _build_embedder(emb_cfg: Dict, asset_dir: Optional[str], dtype):

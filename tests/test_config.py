@@ -127,3 +127,22 @@ class TestTrainingYamls:
         from ccedit_tpu.train.freeze import FREEZE_POLICIES
 
         assert freeze in FREEZE_POLICIES or freeze == "none"
+
+
+class TestAutoencoderYaml:
+    def test_autoencoder_training_config_builds(self):
+        from pathlib import Path
+
+        from ccedit_tpu.config import build_autoencoder_engine
+
+        path = ("/root/reference/configs/example_training/autoencoder/"
+                "kl-f4/imagenet-attnfree-logvar.yaml")
+        if not Path(path).exists():
+            pytest.skip("reference configs unavailable")
+        cfg = load_config(path)
+        eng = build_autoencoder_engine(cfg)
+        assert eng.cfg.disc_start == 20001
+        assert eng.cfg.learn_logvar is True
+        assert eng.cfg.perceptual_weight == 0.25
+        assert eng.cfg.regularization_weights == {"kl_loss": 1.0}
+        assert eng.ae.ch_mult == (1, 2, 4)
