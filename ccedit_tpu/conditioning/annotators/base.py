@@ -153,9 +153,11 @@ class AnnotatorEmbedder(Embedder):
                 scrib = scribble_postprocess(jax.device_get(edge[..., 0]))
                 edge = jnp.asarray(scrib)[..., None]
             else:
-                edge = jnp.clip(edge, 0.0, 1.0)
+                # reference order (annotator/pidinet & modules.py:1427-1437):
+                # safe_step FIRST (its output may exceed 1), clamp after
                 if self.safe:
                     edge = safe_step(edge)
+                edge = jnp.clip(edge, 0.0, 1.0)
             out = jnp.repeat((1.0 - edge) * 2.0 - 1.0, 3, axis=-1)
         elif self.kind == "normal_bae":
             from .normalbae import NNET, detect_normalbae
@@ -239,13 +241,28 @@ def build_annotator(target_name: str, params: Dict) -> AnnotatorEmbedder:
             def backbone(p, frames, _m=model):
                 return detect_depth_midas(p, frames, _m)
         elif kind == "depth_zoe":
-            from .zoedepth import ZoeDepthN, convert_zoedepth, detect_depth_zoe
+            from .zoedepth import (
+                ZoeDepthN,
+                adapt_zoedepth_grid,
+                convert_zoedepth,
+                detect_depth_zoe,
+                zoedepth_grid_for,
+            )
 
             backbone_params = convert_zoedepth(sd)
             zmodel = ZoeDepthN()
 
-            def backbone(p, frames, _m=zmodel):
-                return detect_depth_zoe(p, frames, _m)
+            # the checkpoint rel-bias tables are pinned to the 24x24
+            # pretraining window; resample them to each input's patch grid
+            # (cached per grid — conversion-time params stay checkpoint-grid)
+            _grid_cache: Dict = {}
+
+            def backbone(p, frames, _m=zmodel, _cache=_grid_cache):
+                grid = zoedepth_grid_for(frames.shape[1], frames.shape[2],
+                                         _m.patch)
+                if grid not in _cache:
+                    _cache[grid] = adapt_zoedepth_grid(p, grid)
+                return detect_depth_zoe(_cache[grid], frames, _m)
         elif kind in ("softedge_pidinet", "scribble_pidinet"):
             from .pidinet import convert_pidinet
 

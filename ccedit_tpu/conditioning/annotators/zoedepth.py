@@ -52,10 +52,44 @@ def beit_relative_position_index(h: int, w: int) -> np.ndarray:
     rel[:, :, 0] *= 2 * w - 1
     index = np.zeros((h * w + 1, h * w + 1), np.int64)
     index[1:, 1:] = rel.sum(-1)
-    index[0, 0:] = num_rel + 2
+    # cls rows exactly as transformers BeitRelativePositionBias
+    # .generate_relative_position_index: row0 (cls->token) = num_rel,
+    # col0 (token->cls) = num_rel+1, [0,0] (cls->cls) = num_rel+2
+    index[0, 0:] = num_rel
     index[0:, 0] = num_rel + 1
-    index[0, 0] = num_rel
+    index[0, 0] = num_rel + 2
     return index
+
+
+def interpolate_rel_bias_table(table: np.ndarray, new_grid: Tuple[int, int],
+                               old_grid: Optional[Tuple[int, int]] = None
+                               ) -> np.ndarray:
+    """Resample a BEiT relative-position bias table to a new patch grid.
+
+    Replicates transformers' ``BeitRelativePositionBias.forward`` (the MiDaS
+    v3.1 arbitrary-window modification) bit-for-bit, including its quirk of
+    reshaping the flat (old_h*old_w) axis as (old_w, old_h) before the
+    bilinear resize.  ``table``: ((2h-1)(2w-1)+3, heads).  The 3 trailing
+    cls rows pass through unchanged.
+    """
+    import jax.numpy as _jnp
+
+    rows = table.shape[0] - 3
+    if old_grid is None:
+        s = int(round(np.sqrt(rows)))
+        if s * s != rows:
+            raise ValueError(f"cannot infer square grid from {rows} rows")
+        old_grid = ((s + 1) // 2, (s + 1) // 2)
+    old_h, old_w = 2 * old_grid[0] - 1, 2 * old_grid[1] - 1
+    new_h, new_w = 2 * new_grid[0] - 1, 2 * new_grid[1] - 1
+    if (old_h, old_w) == (new_h, new_w):
+        return table
+    sub = table[: old_h * old_w].reshape(1, old_w, old_h, -1)  # HF quirk
+    sub = np.asarray(
+        resize_bilinear(_jnp.asarray(sub, _jnp.float32), (new_h, new_w),
+                        align_corners=False))
+    sub = sub.reshape(new_h * new_w, -1)
+    return np.concatenate([sub, table[old_h * old_w:]], axis=0)
 
 
 class BeitBlock(nn.Module):
@@ -333,6 +367,33 @@ class ZoeDepthN(nn.Module):
         return depth, rel_depth
 
 
+def zoedepth_grid_for(h: int, w: int, patch: int = 16) -> Tuple[int, int]:
+    """The patch grid ``detect_depth_zoe`` runs at for an (h, w) input
+    (inputs are edge-padded to a multiple of 2*patch)."""
+    mult = patch * 2
+    hp = h + (mult - h % mult) % mult
+    wp = w + (mult - w % mult) % mult
+    return hp // patch, wp // patch
+
+
+def adapt_zoedepth_grid(params: Dict, grid: Tuple[int, int]) -> Dict:
+    """Resample every BEiT rel-bias table in converted params to ``grid``.
+
+    Must be fed checkpoint-grid params (square tables) — resampling twice
+    from an already-adapted set would double-interpolate.
+    """
+    out = dict(params)
+    bb = dict(out["backbone"])
+    for k, v in bb.items():
+        if k.startswith("blocks_"):
+            blk = dict(v)
+            blk["rel_bias"] = interpolate_rel_bias_table(
+                np.asarray(blk["rel_bias"]), grid)
+            bb[k] = blk
+    out["backbone"] = bb
+    return out
+
+
 def detect_depth_zoe(params, frames01: jnp.ndarray,
                      model: Optional[ZoeDepthN] = None) -> jnp.ndarray:
     """frames01: (N,H,W,3) in [0,1] (the encoder maps [-1,1]->[0,1] first,
@@ -376,8 +437,17 @@ def _ln(sd, k):
             "bias": np.asarray(sd[f"{k}.bias"], np.float32)}
 
 
-def convert_zoedepth(sd: Dict[str, np.ndarray], layers: int = 24) -> Dict:
-    """transformers ZoeDepthForDepthEstimation state_dict -> ZoeDepthN params."""
+def convert_zoedepth(sd: Dict[str, np.ndarray], layers: int = 24,
+                     grid: Optional[Tuple[int, int]] = None) -> Dict:
+    """transformers ZoeDepthForDepthEstimation state_dict -> ZoeDepthN params.
+
+    ``grid``: the runtime patch grid (H//patch, W//patch).  The checkpoint's
+    relative-position bias tables are pinned to the pretraining window (24x24
+    for ZoeD_M12_N / BEiT-L-384); running any other input size requires
+    resampling them — transformers does it per-forward, we do it once here
+    (the flax param shape is the runtime grid's).  Required whenever the
+    input size differs from the pretraining one.
+    """
     sd = dict(sd)
     p: Dict = {"backbone": {}}
     bb = "backbone.embeddings"
@@ -408,6 +478,8 @@ def convert_zoedepth(sd: Dict[str, np.ndarray], layers: int = 24) -> Dict:
                 sd[f"{att}.relative_position_bias"
                    ".relative_position_bias_table"], np.float32),
         }
+        if grid is not None:
+            blk["rel_bias"] = interpolate_rel_bias_table(blk["rel_bias"], grid)
         p["backbone"][f"blocks_{i}"] = blk
 
     for i in range(4):

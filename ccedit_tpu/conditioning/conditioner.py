@@ -111,8 +111,12 @@ class Conditioner:
         for i, spec in enumerate(self.specs):
             if spec.input_key not in prepared:
                 continue
+            kwargs = {}
+            if getattr(spec.embedder, "wants_rng", False) and rng is not None:
+                rng, k_emb = jax.random.split(rng)
+                kwargs["rng"] = k_emb
             emb = spec.embedder.embed(
-                params.get(f"embedder_{i}"), prepared[spec.input_key]
+                params.get(f"embedder_{i}"), prepared[spec.input_key], **kwargs
             )
             if apply_ucg and spec.ucg_rate > 0.0 and spec.legacy_ucg_value is None:
                 assert rng is not None

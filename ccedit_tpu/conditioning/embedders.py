@@ -31,6 +31,12 @@ from .tokenizer import load_tokenizer
 
 
 class Embedder:
+    #: embedders with per-batch randomness (train-time augmentation) set this
+    #: and take ``embed(params, prepared, rng=None)``; the Conditioner splits
+    #: its device rng into them so the augmentation re-randomizes every jitted
+    #: step instead of freezing at trace time
+    wants_rng = False
+
     def prepare(self, value):
         return value
 
@@ -39,6 +45,35 @@ class Embedder:
 
     def embed(self, params, prepared):
         raise NotImplementedError
+
+
+def _down_blur(x: jnp.ndarray, factor: float) -> jnp.ndarray:
+    """Down+up bilinear resize over the trailing (H, W, C) spatial axes."""
+    if factor <= 1.0:
+        return x
+    shape = list(x.shape)
+    h_ax, w_ax = x.ndim - 3, x.ndim - 2
+    small = list(shape)
+    small[h_ax] = int(shape[h_ax] / factor)
+    small[w_ax] = int(shape[w_ax] / factor)
+    x = jax.image.resize(x, small, method="bilinear")
+    return jax.image.resize(x, shape, method="bilinear")
+
+
+def _select_down_blur(x, factors, probs, rng, host_rng):
+    """Pick a blur factor and apply it.  With a JAX ``rng`` the choice is a
+    traced lax.switch (re-randomizes per step under jit, modules.py:997-1016);
+    without one (eager inference) it falls back to the host RNG.  Returns
+    (blurred, factor) where factor is traced or a python float resp."""
+    if rng is not None:
+        p = (jnp.asarray(probs, jnp.float32) if probs
+             else jnp.full((len(factors),), 1.0 / len(factors)))
+        idx = jax.random.choice(rng, len(factors), p=p)
+        branches = [lambda xx, f=f: _down_blur(xx, float(f)) for f in factors]
+        return (jax.lax.switch(idx, branches, x),
+                jnp.asarray(factors, jnp.float32)[idx])
+    factor = float(host_rng.choice(factors, p=probs if probs else None))
+    return _down_blur(x, factor), factor
 
 
 class CLIPTextEmbedder(Embedder):
@@ -117,21 +152,14 @@ class VAEEmbedder(Embedder):
         self.down_blur_probs = list(down_blur_probs or [])
         self._rng = np.random.default_rng(seed)
 
-    def embed(self, params, prepared):
+    wants_rng = True
+
+    def embed(self, params, prepared, rng=None):
         assert self.vae_apply is not None, "VAEEmbedder not wired to a VAE"
         x = jnp.asarray(prepared)
         if self.down_blur_factor:
-            factor = float(self._rng.choice(
-                self.down_blur_factor,
-                p=self.down_blur_probs if self.down_blur_probs else None))
-            if factor > 1.0:
-                shape = list(x.shape)
-                h_ax, w_ax = x.ndim - 3, x.ndim - 2
-                small = list(shape)
-                small[h_ax] = int(shape[h_ax] / factor)
-                small[w_ax] = int(shape[w_ax] / factor)
-                x = jax.image.resize(x, small, method="bilinear")
-                x = jax.image.resize(x, shape, method="bilinear")
+            x, _ = _select_down_blur(x, self.down_blur_factor,
+                                     self.down_blur_probs, rng, self._rng)
         return self.vae_apply(x)
 
 
@@ -495,24 +523,17 @@ class CustomIdentityDownCondEncoder(CustomIdentityEncoder):
         self.down_blur_probs = list(down_blur_probs or [])
         self._rng = np.random.default_rng(seed)
 
-    def embed(self, params, prepared):
+    wants_rng = True
+
+    def embed(self, params, prepared, rng=None):
         x = jnp.asarray(prepared)
         if not self.down_blur_factor:
             return x
-        factor = float(self._rng.choice(
-            self.down_blur_factor,
-            p=self.down_blur_probs if self.down_blur_probs else None))
-        shape = list(x.shape)
-        h_ax, w_ax = x.ndim - 3, x.ndim - 2
-        small = list(shape)
-        small[h_ax] = int(shape[h_ax] / factor)
-        small[w_ax] = int(shape[w_ax] / factor)
-        method = "trilinear" if x.ndim == 5 else "bilinear"
         # jax.image has no trilinear; T is untouched by the reference's
         # trilinear call (size_down keeps nframe), so bilinear over (H, W)
         # per frame is the same computation
-        x = jax.image.resize(x, small, method="bilinear")
-        x = jax.image.resize(x, shape, method="bilinear")
+        x, factor = _select_down_blur(x, self.down_blur_factor,
+                                      self.down_blur_probs, rng, self._rng)
         emb = timestep_embedding(
             jnp.full((x.shape[0],), factor, jnp.float32), self.outdim)
         bshape = x.shape[:-1] + (self.outdim,)

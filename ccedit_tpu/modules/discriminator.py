@@ -75,8 +75,22 @@ class NLayerDiscriminator(nn.Module):
 
 
 def discriminator_init(rng, model: NLayerDiscriminator, sample):
-    """weights_init semantics: conv N(0, 0.02), norm scale N(1, 0.02)."""
+    """taming weights_init semantics: conv kernels N(0, 0.02), norm scale
+    N(1, 0.02), norm bias 0.  Conv biases are NOT touched by weights_init —
+    torch leaves them at the Conv2d default U(-1/sqrt(fan_in), 1/sqrt(fan_in)),
+    reproduced here so the GAN starting point matches."""
     params = model.init(rng, sample)["params"]
+
+    # modules that own a conv kernel (their bias gets the torch conv default)
+    conv_fanin = {}
+
+    def collect(path, leaf):
+        if path[-1].key == "kernel":
+            kh, kw, cin = leaf.shape[0], leaf.shape[1], leaf.shape[2]
+            conv_fanin[tuple(p.key for p in path[:-1])] = kh * kw * cin
+        return leaf
+
+    jax.tree_util.tree_map_with_path(collect, params)
 
     def reinit(path, leaf):
         keyseq = "/".join(str(p.key) for p in path)
@@ -85,6 +99,11 @@ def discriminator_init(rng, model: NLayerDiscriminator, sample):
             return 0.02 * jax.random.normal(sub, leaf.shape, leaf.dtype)
         if path[-1].key == "scale":
             return 1.0 + 0.02 * jax.random.normal(sub, leaf.shape, leaf.dtype)
+        parent = tuple(p.key for p in path[:-1])
+        if path[-1].key == "bias" and parent in conv_fanin:
+            bound = conv_fanin[parent] ** -0.5
+            return jax.random.uniform(sub, leaf.shape, leaf.dtype,
+                                      minval=-bound, maxval=bound)
         return jnp.zeros_like(leaf)
 
     return jax.tree_util.tree_map_with_path(reinit, params)

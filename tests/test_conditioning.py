@@ -309,6 +309,56 @@ class TestSafetyAndWatermark:
         out = e.embed(None, x)
         assert out.shape == (2, 3, 16, 16, 12)
 
+    def test_down_blur_rerandomizes_under_jit(self):
+        """The blur factor must be drawn from the traced rng — one compiled
+        step with different keys sees different factors (a host-RNG draw
+        would freeze at trace time; ADVICE r2 medium)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ccedit_tpu.conditioning.embedders import (
+            CustomIdentityDownCondEncoder,
+        )
+
+        e = CustomIdentityDownCondEncoder(
+            outdim=8, down_blur_factor=[1.0, 4.0], down_blur_probs=[0.5, 0.5])
+        x = jnp.asarray(
+            np.random.RandomState(3).rand(1, 2, 16, 16, 4), jnp.float32)
+
+        @jax.jit
+        def step(key):
+            out = e.embed(None, x, rng=key)
+            # factor round-trips through the Fourier channels; the blurred
+            # content differs between factors — compare data channels
+            return out[..., :4]
+
+        outs = [np.asarray(step(jax.random.PRNGKey(s))) for s in range(8)]
+        identity = [np.allclose(o, np.asarray(x), atol=1e-6) for o in outs]
+        # with p=0.5 over 8 draws both branches appear (p_miss = 2*0.5^8)
+        assert any(identity) and not all(identity)
+
+    def test_vae_embedder_blur_traced(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ccedit_tpu.conditioning.embedders import VAEEmbedder
+
+        e = VAEEmbedder(vae_apply=lambda x: x,
+                        down_blur_factor=[1.0, 4.0],
+                        down_blur_probs=[0.5, 0.5])
+        x = jnp.asarray(
+            np.random.RandomState(4).rand(1, 16, 16, 4), jnp.float32)
+
+        @jax.jit
+        def step(key):
+            return e.embed(None, x, rng=key)
+
+        outs = [np.asarray(step(jax.random.PRNGKey(s))) for s in range(8)]
+        identity = [np.allclose(o, np.asarray(x), atol=1e-6) for o in outs]
+        assert any(identity) and not all(identity)
+        # eager path (no rng) still works via the host RNG
+        assert e.embed(None, x).shape == x.shape
+
     def test_detect_watermark_cli_roundtrip(self, tmp_path):
         from PIL import Image
 

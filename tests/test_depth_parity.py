@@ -183,3 +183,63 @@ class TestZoeDepthParity:
         depth, rel = jm.apply({"params": params},
                               jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
         np.testing.assert_allclose(np.asarray(depth), ref, atol=5e-4, rtol=1e-2)
+
+    def test_rel_bias_matrix_matches_hf(self):
+        """The decomposed rel-position bias matrix — index layout (cls rows)
+        AND arbitrary-window table interpolation — vs transformers'
+        BeitRelativePositionBias.forward, exactly.  This is where the
+        full-forward test was previously blind (a swapped cls row or a
+        clamped gather drowns in a 0.05-scale end-to-end atol)."""
+        from transformers import BeitConfig
+        from transformers.models.beit.modeling_beit import (
+            BeitRelativePositionBias,
+        )
+
+        from ccedit_tpu.conditioning.annotators.zoedepth import (
+            beit_relative_position_index,
+            interpolate_rel_bias_table,
+        )
+
+        cfg = BeitConfig(num_attention_heads=4)
+        mod = BeitRelativePositionBias(cfg, window_size=(4, 4))
+        g = torch.Generator().manual_seed(7)
+        with torch.no_grad():
+            mod.relative_position_bias_table.copy_(
+                torch.randn(mod.relative_position_bias_table.shape,
+                            generator=g))
+        table = mod.relative_position_bias_table.detach().numpy()
+
+        for window in [(4, 4), (6, 4), (3, 5)]:
+            with torch.no_grad():
+                ref = mod(window_size=window).detach().numpy()[0]  # (H, L, L)
+            new_table = interpolate_rel_bias_table(table, window,
+                                                   old_grid=(4, 4))
+            index = beit_relative_position_index(*window)
+            ours = new_table[index].transpose(2, 0, 1)
+            np.testing.assert_allclose(ours, ref, atol=1e-5,
+                                       err_msg=f"window={window}")
+
+    def test_adapt_grid_matches_direct_conversion(self):
+        """adapt_zoedepth_grid (the lazy runtime path in build_annotator)
+        must equal convert_zoedepth(grid=...)."""
+        from ccedit_tpu.conditioning.annotators.zoedepth import (
+            adapt_zoedepth_grid,
+            convert_zoedepth,
+            zoedepth_grid_for,
+        )
+
+        from reference_compat import randomize_state_dict
+
+        tm = self._tiny()
+        randomize_state_dict(tm, seed=300, scale=0.5)
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        base = convert_zoedepth(sd, layers=4)
+        direct = convert_zoedepth(sd, layers=4, grid=(6, 4))
+        lazy = adapt_zoedepth_grid(base, (6, 4))
+        for i in range(4):
+            np.testing.assert_allclose(
+                np.asarray(lazy["backbone"][f"blocks_{i}"]["rel_bias"]),
+                np.asarray(direct["backbone"][f"blocks_{i}"]["rel_bias"]),
+                atol=1e-6)
+        assert zoedepth_grid_for(96, 64) == (6, 4)
+        assert zoedepth_grid_for(512, 768) == (32, 48)
