@@ -15,11 +15,21 @@ itself publishes no numbers).  Weights are zeros via jax.eval_shape — latency
 is architecture- and compiler-bound, not weight-bound (jitted full-model init
 traces take >1h on this throttled host).
 
+Modes (BENCH_MODE):
+  e2e (default) — the FULL per-clip pipeline the reference user pays
+      (VERDICT r2 Weak #6): host mp4 decode -> DPT-Hybrid depth on all
+      keyframes -> CLIP text forward -> denoise scan -> VAE decode -> host
+      mp4 encode, each stage device-synced so the reported stage breakdown
+      sums to the total by construction.
+  core — denoise scan + VAE decode only (the round-1/2 metric; kept for
+      round-over-round comparability, also reported in e2e detail).
+
 Params and conditioning enter as jit ARGUMENTS — closure capture would bake
 6.5GB of weights into the HLO as constants, which breaks the remote compile
 service and bloats the compile cache.
 
-Env knobs: BENCH_FRAMES/BENCH_H/BENCH_W/BENCH_STEPS to scale; BENCH_FP32=1.
+Env knobs: BENCH_FRAMES/BENCH_H/BENCH_W/BENCH_STEPS to scale; BENCH_FP32=1;
+BENCH_MODE=core|e2e; BENCH_SEGMENT to override scan segmenting.
 """
 
 import json
@@ -150,11 +160,53 @@ def main():
     def edit_clip(x0, key):
         return decode_clip(vae_params, sample_clip(x0, key))
 
+    mode = os.environ.get("BENCH_MODE", "e2e")
+
+    # ---- e2e extras: host decode, depth annotator, text encoder, encode ----
+    if mode == "e2e":
+        import tempfile
+
+        import numpy as np
+
+        from ccedit_tpu.conditioning.annotators.base import midas_postprocess
+        from ccedit_tpu.conditioning.annotators.dpt_midas import DPTHybrid
+        from ccedit_tpu.data.video import load_video_keyframes, save_video_frames
+        from ccedit_tpu.modules.clip import CLIPTextModel
+
+        tmpdir = tempfile.mkdtemp(prefix="bench_e2e_")
+        src_path = os.path.join(tmpdir, "src.mp4")
+        out_path = os.path.join(tmpdir, "edited.mp4")
+        rs = np.random.RandomState(0)
+        save_video_frames(
+            rs.rand(34, H, W, 3).astype(np.float32) * 2.0 - 1.0, src_path,
+            fps=18.0)
+
+        dpt = DPTHybrid(dtype=dtype)
+        clipm = CLIPTextModel(dtype=dtype)
+        frames_shape = jnp.zeros((T, H, W, 3), jnp.float32)
+        dpt_params = materialize(jax.eval_shape(dpt.init, rng, frames_shape))
+        tokens = jnp.zeros((2, 77), jnp.int32)
+        clip_params = materialize(jax.eval_shape(clipm.init, rng, tokens))
+
+        @jax.jit
+        def make_hint(dp, frames):
+            depth = dpt.apply({"params": dp}, frames.astype(dtype))
+            return midas_postprocess(depth.astype(jnp.float32)).astype(dtype)
+
+        @jax.jit
+        def embed_text(cp, toks):
+            return clipm.apply({"params": cp}, toks)
+
     x0 = jax.random.normal(jax.random.PRNGKey(1), x.shape, dtype=jnp.float32)
     t0 = time.time()
     for attempt in range(3):
         try:
             out = hard_sync(edit_clip(x0, jax.random.PRNGKey(2)))
+            if mode == "e2e":
+                frames_np = load_video_keyframes(
+                    src_path, target_fps=6.0, num_keyframes=T, size_hw=(H, W))
+                hard_sync(make_hint(dpt_params, jnp.asarray(frames_np)))
+                hard_sync(embed_text(clip_params, tokens))
             break
         except Exception as e:  # transient remote-compile failures
             log(f"# compile attempt {attempt} failed: {type(e).__name__}: {e}")
@@ -165,14 +217,57 @@ def main():
     log(f"# compile+first run {compile_s:.1f}s")
 
     times = []
+    stage_breakdowns = []
     for i in range(3):
         if i:
             time.sleep(45)  # sustained load degrades successive runs ~2-4x
             # on this tunnel (98 -> 351 -> 444s observed); idle gaps recover
-        t0 = time.time()
-        out = hard_sync(edit_clip(x0, jax.random.PRNGKey(3 + i)))
-        times.append(time.time() - t0)
+        if mode == "e2e":
+            # full pipeline, each stage synced so stages sum to the total
+            stages = {}
+            t0 = time.time()
+            frames_np = load_video_keyframes(
+                src_path, target_fps=6.0, num_keyframes=T, size_hw=(H, W))
+            t1 = time.time(); stages["decode_s"] = t1 - t0
+            hint = hard_sync(make_hint(dpt_params, jnp.asarray(frames_np)))
+            t2 = time.time(); stages["depth_s"] = t2 - t1
+            txt = hard_sync(embed_text(clip_params, tokens))
+            t3 = time.time(); stages["text_s"] = t3 - t2
+            lat = sample_clip(x0, jax.random.PRNGKey(3 + i))
+            hard_sync(lat)
+            t4 = time.time(); stages["scan_s"] = t4 - t3
+            dec = hard_sync(decode_clip(vae_params, lat))
+            t5 = time.time(); stages["vae_s"] = t5 - t4
+            save_video_frames(
+                jax.device_get(dec[0]).astype("float32"), out_path, fps=6.0)
+            t6 = time.time(); stages["encode_s"] = t6 - t5
+            times.append(t6 - t0)
+            stage_breakdowns.append({k: round(v, 3) for k, v in stages.items()})
+            log(f"# e2e run {i}: {t6 - t0:.1f}s {stage_breakdowns[-1]}")
+        else:
+            t0 = time.time()
+            out = hard_sync(edit_clip(x0, jax.random.PRNGKey(3 + i)))
+            times.append(time.time() - t0)
     latency = min(times)
+
+    detail = {
+        "workload": f"{T}f {H}x{W} {steps} steps DPM++2S CFG7.5 + VAE decode",
+        "mode": mode,
+        "dtype": "bfloat16" if dtype == jnp.bfloat16 else "float32",
+        "device": str(jax.devices()[0]),
+        "params": n_params,
+        "frames_per_s_per_chip": round(T / latency, 3),
+        "compile_s": round(compile_s, 1),
+        "init_s": round(init_s, 1),
+        "all_runs_s": [round(t, 3) for t in times],
+    }
+    if mode == "e2e":
+        best = stage_breakdowns[times.index(latency)]
+        detail["stages"] = best
+        detail["core_s"] = round(best["scan_s"] + best["vae_s"], 3)
+        detail["workload"] = (
+            f"{T}f {H}x{W} {steps} steps DPM++2S CFG7.5, mp4 decode + "
+            "DPT-Hybrid depth + CLIP text + VAE decode + mp4 encode")
 
     print(
         json.dumps(
@@ -181,16 +276,7 @@ def main():
                 "value": round(latency, 3),
                 "unit": "s",
                 "vs_baseline": round(baseline_s / latency, 3),
-                "detail": {
-                    "workload": f"{T}f {H}x{W} {steps} steps DPM++2S CFG7.5 + VAE decode",
-                    "dtype": "bfloat16" if dtype == jnp.bfloat16 else "float32",
-                    "device": str(jax.devices()[0]),
-                    "params": n_params,
-                    "frames_per_s_per_chip": round(T / latency, 3),
-                    "compile_s": round(compile_s, 1),
-                    "init_s": round(init_s, 1),
-                    "all_runs_s": [round(t, 3) for t in times],
-                },
+                "detail": detail,
             }
         )
     )

@@ -22,6 +22,11 @@ import numpy as np
 from ..config import build_engine, load_config
 from ..data.video import load_image, load_video_keyframes, save_video_frames
 from ..diffusion.guidance import VanillaCFG
+from ..utils.jax_cache import enable_compilation_cache
+
+# user-facing CLIs share bench.py's persistent compile cache: a repeat
+# invocation at the same shapes skips the 130-900s remote compile entirely
+enable_compilation_cache()
 
 SAMPLER_NAMES = {
     "EulerEDMSampler": "euler",

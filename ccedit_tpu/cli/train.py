@@ -17,6 +17,10 @@ from pathlib import Path
 
 import jax
 
+from ..utils.jax_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
