@@ -139,27 +139,34 @@ class CustomIdentityEncoder(Embedder):
 
 class VAEEmbedder(Embedder):
     """Encode the edited reference frame with the *shared* first-stage VAE
-    (wired by the engine, diffusion.py:375-385).  Uses the posterior mode for
-    determinism (the reference samples; mode is the variance-free choice and
-    is what parity tests pin)."""
+    (wired by the engine, diffusion.py:375-385).  With a train rng the
+    posterior is SAMPLED (matching sgm/models/autoencoder.py:330); without
+    one (inference, parity tests) the deterministic mode is used."""
+
+    wants_rng = True
 
     def __init__(self, vae_apply=None, scale_factor: float = 0.18215,
                  down_blur_factor=None, down_blur_probs=None, seed: int = 0):
-        self.vae_apply = vae_apply  # set by the engine: (x) -> latent moments
+        self.vae_apply = vae_apply  # set by the engine: (x[, rng]) -> latent
         self.scale_factor = scale_factor
         # optional train-time down-blur augmentation (modules.py:997-1016)
         self.down_blur_factor = list(down_blur_factor or [])
         self.down_blur_probs = list(down_blur_probs or [])
         self._rng = np.random.default_rng(seed)
 
-    wants_rng = True
-
     def embed(self, params, prepared, rng=None):
         assert self.vae_apply is not None, "VAEEmbedder not wired to a VAE"
         x = jnp.asarray(prepared)
+        k_blur = k_post = None
+        if rng is not None:
+            k_blur, k_post = jax.random.split(rng)
         if self.down_blur_factor:
             x, _ = _select_down_blur(x, self.down_blur_factor,
-                                     self.down_blur_probs, rng, self._rng)
+                                     self.down_blur_probs, k_blur, self._rng)
+        import inspect
+
+        if "rng" in inspect.signature(self.vae_apply).parameters:
+            return self.vae_apply(x, rng=k_post)
         return self.vae_apply(x)
 
 

@@ -393,9 +393,18 @@ class DPMPP2SAncestralSampler(AncestralSampler):
     tail).  Needed on infrastructures with per-execution RPC timeouts — a
     full 30-step SD-scale clip is a ~3 min single call otherwise.  Only
     meaningful when the sampler is invoked eagerly (not under an outer jit).
+
+    Execution-path note (round-3 forensics, docs/PERF_r3.md): repeat calls
+    MUST NOT re-trace — tracing the SD-scale network costs tens of host
+    seconds and made round-1/2 headlines ~45% slower and transport-noisy.
+    The jitted runner and the device-resident const rows are cached on the
+    instance, keyed by call structure; everything dynamic (params, cond,
+    state, rng) enters as jit arguments.
     """
 
     segment_size: int = 0
+    _exec_cache: dict = dataclasses.field(
+        default_factory=dict, init=False, repr=False)
 
     def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn):
         sig, nxt, down, up = self._ancestral_tables(sigmas, start_step)
@@ -444,8 +453,8 @@ class DPMPP2SAncestralSampler(AncestralSampler):
             return np.asarray([r[key] for r in rows], dtype=np.float64)
 
         phases = np.asarray([r["phase"] for r in rows])
-        consts = jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, dtype=jnp.float32),
+        consts_np = jax.tree_util.tree_map(
+            lambda a: np.asarray(a, dtype=np.float32),
             (
                 col("q"),
                 (phases == 0).astype(np.float32),
@@ -457,9 +466,9 @@ class DPMPP2SAncestralSampler(AncestralSampler):
             ),
         )
 
-        # ``denoise_fn`` may be a (fn, ctx) pair with fn(ctx, x, sigma): in
-        # segmented mode ctx (params/conditioning) must flow through jit
-        # ARGUMENTS — a closure would bake the weights into the HLO.
+        # ``denoise_fn`` may be a (fn, ctx) pair with fn(ctx, x, sigma): ctx
+        # (params/conditioning) must flow through jit ARGUMENTS — a closure
+        # would bake the weights into the HLO.
         if isinstance(denoise_fn, tuple):
             call_fn, call_ctx = denoise_fn
         else:
@@ -495,24 +504,43 @@ class DPMPP2SAncestralSampler(AncestralSampler):
 
             return scan_body
 
-        if seg and seg > 0:
+        # one cache entry per call structure: re-tracing the SD-scale network
+        # on every sample costs tens of host seconds (round-3 forensics)
+        cache_key = (
+            id(call_fn), None if pre_fn is None else id(pre_fn),
+            tuple(x.shape), str(x.dtype), int(seg or 0),
+            hash(b"".join(a.tobytes() for a in consts_np)),
+        )
+        entry = self._exec_cache.get(cache_key)
+        if entry is None:
+            if seg and seg > 0:
+                n_chunks = len(rows) // seg
+                consts_dev = [
+                    jax.tree_util.tree_map(
+                        lambda a: jnp.asarray(a[ci * seg: (ci + 1) * seg]),
+                        consts_np)
+                    for ci in range(n_chunks)
+                ]
+            else:
+                consts_dev = jax.tree_util.tree_map(jnp.asarray, consts_np)
+
             @jax.jit
-            def run_chunk(ctx, carry, chunk):
+            def run_scan(ctx, carry, chunk):
                 body = make_body(lambda xx, q: call_fn(ctx, xx, q))
                 return jax.lax.scan(body, carry, chunk)
 
-            carry = (x, x, rng)
-            n_chunks = len(rows) // seg
-            for ci in range(n_chunks):
-                chunk = jax.tree_util.tree_map(
-                    lambda a: a[ci * seg : (ci + 1) * seg], consts
-                )
-                carry, _ = run_chunk(call_ctx, carry, chunk)
-            x_base, x_query, rng = carry
-            return x_query
+            # pin call_fn/pre_fn so their id()s in the key can't be recycled
+            entry = (consts_dev, run_scan, call_fn, pre_fn)
+            self._exec_cache[cache_key] = entry
+        consts_dev, run_scan = entry[0], entry[1]
 
-        body = make_body(lambda xx, q: call_fn(call_ctx, xx, q))
-        (x_base, x_query, rng), _ = jax.lax.scan(body, (x, x, rng), consts)
+        carry = (x, x, rng)
+        if seg and seg > 0:
+            for chunk in consts_dev:
+                carry, _ = run_scan(call_ctx, carry, chunk)
+        else:
+            carry, _ = run_scan(call_ctx, carry, consts_dev)
+        x_base, x_query, rng = carry
         return x_query
 
 

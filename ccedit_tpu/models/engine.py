@@ -149,11 +149,15 @@ class CCEditEngine:
         (diffusion.py:375-385)."""
         from ..conditioning.embedders import VAEEmbedder
 
-        def vae_encode_mode(x):
+        def vae_encode_mode(x, rng=None):
             moments = self.vae.apply(
                 {"params": vae_params}, x, method=AutoencoderKL.encode_moments
             )
-            return DiagonalGaussian(moments).mode() * self.scale_factor
+            dist = DiagonalGaussian(moments)
+            # reference SAMPLES the posterior (autoencoder.py:330); with no
+            # rng (inference / parity tests) use the deterministic mode
+            z = dist.mode() if rng is None else dist.sample(rng)
+            return z * self.scale_factor
 
         for spec in self.conditioner.specs:
             if isinstance(spec.embedder, VAEEmbedder):
