@@ -123,6 +123,10 @@ def _small_seq_ok(q, k) -> bool:
 
 
 def _attention_kernel(q, k, v, scale, force_xla):
+    # NOTE (r3): a small-KV pallas kernel for the 77-token text cross-attn
+    # (scores VMEM-resident) was built, measured 4.7-6.2 ms vs XLA's true
+    # 2.3 ms at (34,8,6144,40)x77, and removed — the ~30 us/grid-step pallas
+    # floor dominates an op this thin.  See docs/PERF_r3.md §6.
     if not force_xla and _flash_ok(q, k):
         fa = _flash_fn()
         return fa.flash_attention(

@@ -72,8 +72,16 @@ def small_seq_attention(q, k, v, scale: float) -> jnp.ndarray:
         return x.reshape(n, t, d).transpose(1, 2, 0)
 
     # lane-block sized to keep the double-buffered bf16 blocks plus the
-    # kernel's fp32 casts inside scoped VMEM (16MB)
-    block_n = 512 if d <= 48 else (256 if d <= 96 else 128)
+    # kernel's fp32 casts inside scoped VMEM (16MB).  The live set scales
+    # with t*d (several fp32 (T,D,NB) temps + the unrolled score rows):
+    # t=32,d=40 at block 512 measured 22.4MB scoped -> OOM, so halve the
+    # lane block once t*d crosses the t=17-ish budget.
+    if t * d <= 20 * 48:
+        block_n = 512 if d <= 48 else 256
+    elif d <= 96:
+        block_n = 256
+    else:
+        block_n = 128
     pad = (-n) % block_n
     qt, kt, vt = to_tdn(q), to_tdn(k), to_tdn(v)
     if pad:

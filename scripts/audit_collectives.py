@@ -201,7 +201,9 @@ def shard_part():
     net = CCEditNetwork(unet=unet, controlnet=cn)
     key = jax.random.PRNGKey(0)
 
-    def bench_nfe(name, T, Hl, Wl, iters=6, n=3):
+    def bench_nfe(name, T, Hl, Wl, i1=2, i2=8, n=3):
+        """Slope-timed (docs/PERF_r3.md §6): immune to the ~30 ms fixed
+        per-execution cost."""
         x = jnp.zeros((2, T, Hl, Wl, 4), jnp.float32)
         tt = jnp.array([500.0, 500.0])
         cond = {"crossattn": jnp.zeros((2, 77, 768), dtype),
@@ -212,20 +214,27 @@ def shard_part():
                                 dtype if s.dtype == jnp.float32 else s.dtype),
             p_shapes)
 
-        def looped(xx, p, c):
-            def body(_, carry):
-                out = net.apply(p, carry, tt, c)
-                return carry + (1e-12 * jnp.mean(out)).astype(carry.dtype)
-            return jax.lax.fori_loop(0, iters, body, xx)
+        def make(iters):
+            def looped(xx, p, c):
+                def body(_, carry):
+                    out = net.apply(p, carry, tt, c)
+                    return carry + (1e-12 * jnp.mean(out)).astype(carry.dtype)
+                return jax.lax.fori_loop(0, iters, body, xx)
+            return jax.jit(looped)
 
-        fn = jax.jit(looped)
-        jax.device_get(jnp.ravel(fn(x, params, cond))[0])
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            jax.device_get(jnp.ravel(fn(x, params, cond))[0])
-            ts.append(time.perf_counter() - t0)
-        ms = min(ts) * 1e3 / iters
+        f1, f2 = make(i1), make(i2)
+        jax.device_get(jnp.ravel(f1(x, params, cond))[0])
+        jax.device_get(jnp.ravel(f2(x, params, cond))[0])
+
+        def t(f):
+            ts = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                jax.device_get(jnp.ravel(f(x, params, cond))[0])
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        ms = (t(f2) - t(f1)) * 1e3 / (i2 - i1)
         print(f"{name:44s} {ms:9.1f} ms/NFE", flush=True)
         return ms
 

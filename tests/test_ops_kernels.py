@@ -31,3 +31,8 @@ class TestSmallSeqAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, rtol=1e-4)
 
+
+# (a TestSmallKVAttention suite existed briefly in round 3; the kernel lost
+# to XLA on device — 4.7 vs 2.3 ms — and was removed with its tests.
+# docs/PERF_r3.md §6 records the measurements.)
+
