@@ -69,10 +69,15 @@ def hard_sync(x):
 
 
 def main():
+    # tv2v: README.md:56-57 (30 steps, cfg 7.5).  tvi2v: README.md:63-77
+    # (50 steps, cfg 7, reference-guided: CFCA center_self attention +
+    # appearance ControlNet branch on the anchor-frame latent).
+    workload = os.environ.get("BENCH_WORKLOAD", "tv2v")
     T = int(os.environ.get("BENCH_FRAMES", 17))
     H = int(os.environ.get("BENCH_H", 512))
     W = int(os.environ.get("BENCH_W", 768))
-    steps = int(os.environ.get("BENCH_STEPS", 30))
+    steps = int(os.environ.get("BENCH_STEPS", 50 if workload == "tvi2v" else 30))
+    cfg_scale = 7.0 if workload == "tvi2v" else 7.5
     dtype = jnp.float32 if os.environ.get("BENCH_FP32") else jnp.bfloat16
     baseline_s = 10.0
 
@@ -81,12 +86,25 @@ def main():
         attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4), num_heads=8,
         transformer_depth=1, context_dim=768, dtype=dtype,
     )
-    unet = UNetModel(unet_type="pseudo-3d", disable_temporal_text_ca=True, **sd15)
-    cn = ControlNet2D(hint_channels=3, **sd15)
-    net = CCEditNetwork(unet=unet, controlnet=cn)
+    h8, w8 = H // 8, W // 8
+    if workload == "tvi2v":
+        # keyframe_ref_cp_no2ndca_add_cfca yaml: UNet3D + CFCA center_self,
+        # structure ControlNet, appearance ControlNet (identity hint,
+        # no_add_x, no text CA) fed the anchor-frame latent
+        unet = UNetModel(unet_type="pseudo-3d", disable_temporal_text_ca=True,
+                         enable_attention3d_crossframe=True,
+                         st3dca_ca_type="center_self", **sd15)
+        cn = ControlNet2D(hint_channels=3, **sd15)
+        cn_img = ControlNet2D(hint_channels=4, input_hint_identity=True,
+                              no_add_x=True, disable_text_ca=True, **sd15)
+        net = CCEditNetwork(unet=unet, controlnet=cn, controlnet_img=cn_img)
+    else:
+        unet = UNetModel(unet_type="pseudo-3d", disable_temporal_text_ca=True,
+                         **sd15)
+        cn = ControlNet2D(hint_channels=3, **sd15)
+        net = CCEditNetwork(unet=unet, controlnet=cn)
     vae = AutoencoderKL(dtype=dtype)
 
-    h8, w8 = H // 8, W // 8
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((1, T, h8, w8, 4), dtype=jnp.float32)
     tt = jnp.array([500.0])
@@ -94,6 +112,8 @@ def main():
         "crossattn": jnp.zeros((1, 77, 768), dtype=dtype),
         "control_hint": jnp.zeros((1, T, H, W, 3), dtype=dtype),
     }
+    if workload == "tvi2v":
+        cond["cond_feat"] = jnp.zeros((1, h8, w8, 4), dtype=dtype)
     t0 = time.time()
     # store params in the COMPUTE dtype: fp32 storage costs ~17s/clip of
     # in-program fp32->bf16 weight casts (6.4GB read + 3.2GB write per
@@ -115,7 +135,7 @@ def main():
     log(f"# params materialized in {init_s:.1f}s ({n_params/1e9:.2f}B)")
 
     den = DiscreteDenoiser(scaling="eps", weighting="eps")
-    guider = VanillaCFG(scale=7.5)
+    guider = VanillaCFG(scale=cfg_scale)
     uc = {**cond, "crossattn": jnp.ones_like(cond["crossattn"])}
     cond_cat = guider.prepare_cond(cond, uc)
     # segment the denoise scan into a few device executions by default: the
@@ -190,12 +210,12 @@ def main():
 
         @jax.jit
         def make_hint(dp, frames):
-            depth = dpt.apply({"params": dp}, frames.astype(dtype))
+            depth = dpt.apply(dp, frames.astype(dtype))
             return midas_postprocess(depth.astype(jnp.float32)).astype(dtype)
 
         @jax.jit
         def embed_text(cp, toks):
-            return clipm.apply({"params": cp}, toks)
+            return clipm.apply(cp, toks)
 
     x0 = jax.random.normal(jax.random.PRNGKey(1), x.shape, dtype=jnp.float32)
     t0 = time.time()
@@ -251,7 +271,8 @@ def main():
     latency = min(times)
 
     detail = {
-        "workload": f"{T}f {H}x{W} {steps} steps DPM++2S CFG7.5 + VAE decode",
+        "workload": f"{workload} {T}f {H}x{W} {steps} steps DPM++2S "
+                    f"CFG{cfg_scale} + VAE decode",
         "mode": mode,
         "dtype": "bfloat16" if dtype == jnp.bfloat16 else "float32",
         "device": str(jax.devices()[0]),
@@ -266,8 +287,9 @@ def main():
         detail["stages"] = best
         detail["core_s"] = round(best["scan_s"] + best["vae_s"], 3)
         detail["workload"] = (
-            f"{T}f {H}x{W} {steps} steps DPM++2S CFG7.5, mp4 decode + "
-            "DPT-Hybrid depth + CLIP text + VAE decode + mp4 encode")
+            f"{workload} {T}f {H}x{W} {steps} steps DPM++2S CFG{cfg_scale}, "
+            "mp4 decode + DPT-Hybrid depth + CLIP text + VAE decode + "
+            "mp4 encode")
 
     print(
         json.dumps(

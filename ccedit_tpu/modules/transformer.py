@@ -24,7 +24,12 @@ import jax.numpy as jnp
 from jax.nn.initializers import zeros as zeros_init
 
 from ..ops.attention import dot_product_attention
-from ..ops.video import fold_time, temporal_to_tokens, tokens_to_temporal
+from ..ops.video import (
+    fold_time,
+    repeat_ctx_temporal,
+    temporal_to_tokens,
+    tokens_to_temporal,
+)
 
 Dtype = Any
 
@@ -354,7 +359,7 @@ class SpatialTransformer3D(nn.Module):
         xs = self._spatial(fold_time(x), ctx_spatial, b, t)
         xt = tokens_to_temporal(xs, b)
         ctx_temporal = (
-            jnp.repeat(context, h * w, axis=0) if context is not None else None
+            repeat_ctx_temporal(context, h, w) if context is not None else None
         )
         xt = self._temporal(xt, ctx_temporal, b)
         out = temporal_to_tokens(xt, b, h, w)
@@ -420,7 +425,7 @@ class SpatialTransformer3DCA(SpatialTransformer3D):
         xs = self._spatial(fold_time(x), ctx_spatial, b, t)
         xt = tokens_to_temporal(xs, b)
         ctx_temporal = (
-            jnp.repeat(context, h * w, axis=0) if context is not None else None
+            repeat_ctx_temporal(context, h, w) if context is not None else None
         )
         xt = self._temporal(xt, ctx_temporal, b)
         xs = temporal_to_tokens(xt, b, h, w)

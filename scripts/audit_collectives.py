@@ -23,15 +23,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PART = sys.argv[1] if len(sys.argv) > 1 else "hlo"
 
 if PART == "hlo":
-    # must be set before jax import; the axon plugin otherwise grabs the
-    # backend (tests/conftest.py does the same)
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=8"
-    )
+    # env alone does NOT stick (the axon plugin overrides JAX_PLATFORMS);
+    # XLA_FLAGS is read lazily + the platform must be forced via jax.config
+    # before the first backend query (same recipe as tests/conftest.py)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+
+if PART == "hlo":
+    jax.config.update("jax_platform_name", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -149,9 +153,16 @@ def hlo_part():
     x0 = jax.device_put(jnp.zeros(shape, jnp.float32), out_sh)
     key = jax.random.PRNGKey(1)
 
+    from ccedit_tpu.ops.attention import mesh_context
+
     jitted = jax.jit(sample_fn, out_shardings=out_sh)
     print("# lowering + compiling (CPU, 8 virtual devices)...", flush=True)
-    lowered = jitted.lower(params, cc, x0, key)
+    # mesh_context routes big attentions through shard_map (q sharded,
+    # k/v replicated) exactly as the real multi-chip TPU path does —
+    # without it GSPMD shards the plain einsum and the collective mix
+    # (fp32 operand gathers) is not what production runs
+    with mesh_context(plan.mesh):
+        lowered = jitted.lower(params, cc, x0, key)
     compiled = lowered.compile()
     hlo = compiled.as_text()
 
@@ -177,9 +188,8 @@ def hlo_part():
     print(f"# per scan row (program has {rows} rows in one scan → HLO shows "
           f"the body once; per-row traffic = program traffic / rows if all "
           f"collectives sit in the body)")
-    # dump for inspection
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "..", "docs", "hlo_sharded_sample.txt")
+    # dump for inspection (large; kept out of the repo)
+    out_path = "/tmp/hlo_sharded_sample.txt"
     with open(out_path, "w") as f:
         f.write(hlo)
     print(f"# full HLO written to {out_path} ({len(hlo)/1e6:.1f} MB)")
@@ -239,7 +249,7 @@ def shard_part():
         return ms
 
     print(f"# device: {jax.devices()[0]}")
-    full = bench_nfe("full clip (17f, 64x96 latent)", 17, 64, 96, iters=3)
+    full = bench_nfe("full clip (17f, 64x96 latent)", 17, 64, 96, i1=2, i2=5)
     h8 = bench_nfe("H/8 shard (17f, 8x96 latent)", 17, 8, 96)
     t2 = bench_nfe("T-shard T=2 (full 64x96)", 2, 64, 96)
     t3 = bench_nfe("T-shard T=3 (full 64x96)", 3, 64, 96)
