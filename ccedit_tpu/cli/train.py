@@ -47,9 +47,19 @@ def parse_args(argv=None):
 def build_dataloader(cfg, args):
     from ..data.dataset import DataLoader, SyntheticVideoDataset, WebVidDataset
 
+    data_target = str((cfg.get("data") or {}).get("target") or "")
     data_cfg = (cfg.get("data") or {}).get("params") or {}
     train_cfg = ((data_cfg.get("train") or {}).get("params")) or {}
     bs = args.batch_size or data_cfg.get("batch_size", 1)
+
+    if "mnist" in data_target.lower() or "cifar" in data_target.lower():
+        # toy image configs (sgm/data/mnist.py, cifar10.py): on-disk
+        # IDX/pickle readers with a synthetic class-correlated fallback
+        from ..data.toy import build_toy_dataset
+
+        ds = build_toy_dataset(data_target, data_cfg, train=True,
+                               seed=args.seed)
+        return DataLoader(ds, batch_size=bs, seed=args.seed), bs
 
     if args.synthetic_data or not train_cfg:
         ds = SyntheticVideoDataset(

@@ -150,3 +150,88 @@ class TestNativeDecode:
         # png is lossless: exact value roundtrip through [-1,1]
         img0 = cv2.imread(paths[0])[:, :, ::-1].astype(np.float32)
         np.testing.assert_allclose(out[0], img0 / 127.5 - 1.0, atol=1e-6)
+
+
+class TestToyDatasets:
+    """MNIST/CIFAR offline loaders (sgm/data/mnist.py, cifar10.py parity:
+    {"jpg": [-1,1] image, "cls": label} samples)."""
+
+    def test_mnist_synthetic_fallback(self, tmp_path):
+        from ccedit_tpu.data.toy import MNISTDataset
+
+        ds = MNISTDataset(root=str(tmp_path), n_synthetic=32)
+        assert ds.synthetic and len(ds) == 32
+        s = ds[0]
+        assert s["jpg"].shape == (28, 28, 1)
+        assert -1.0 <= s["jpg"].min() and s["jpg"].max() <= 1.0
+        assert 0 <= s["cls"] < 10
+        # deterministic per index
+        np.testing.assert_array_equal(ds[3]["jpg"], ds[3]["jpg"])
+        # glyphs differ across digits (class-correlated content)
+        by_cls = {}
+        for i in range(32):
+            by_cls.setdefault(ds[i]["cls"], ds[i]["jpg"])
+        ks = list(by_cls)
+        assert len(ks) > 3
+        assert np.abs(by_cls[ks[0]] - by_cls[ks[1]]).max() > 0.5
+
+    def test_mnist_reads_idx_files(self, tmp_path):
+        import gzip
+        import struct
+
+        from ccedit_tpu.data.toy import MNISTDataset
+
+        imgs = (np.arange(2 * 28 * 28) % 256).astype(np.uint8).reshape(2, 28, 28)
+        lbls = np.array([3, 7], dtype=np.uint8)
+        raw = tmp_path / "MNIST" / "raw"
+        raw.mkdir(parents=True)
+        with gzip.open(raw / "train-images-idx3-ubyte.gz", "wb") as f:
+            f.write(struct.pack(">I", 0x00000803) + struct.pack(">III", 2, 28, 28))
+            f.write(imgs.tobytes())
+        with open(raw / "train-labels-idx1-ubyte", "wb") as f:
+            f.write(struct.pack(">I", 0x00000801) + struct.pack(">I", 2))
+            f.write(lbls.tobytes())
+
+        ds = MNISTDataset(root=str(tmp_path))
+        assert not ds.synthetic and len(ds) == 2
+        assert ds[1]["cls"] == 7
+        np.testing.assert_allclose(
+            ds[0]["jpg"][..., 0], imgs[0].astype(np.float32) / 255.0 * 2 - 1)
+
+    def test_cifar_reads_pickle_batches(self, tmp_path):
+        import pickle
+
+        from ccedit_tpu.data.toy import CIFAR10Dataset
+
+        bdir = tmp_path / "cifar-10-batches-py"
+        bdir.mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(1, 6):
+            data = rng.randint(0, 256, size=(2, 3 * 32 * 32), dtype=np.uint8)
+            with open(bdir / f"data_batch_{i}", "wb") as f:
+                pickle.dump({b"data": data, b"labels": [i % 10, (i + 1) % 10]}, f)
+        ds = CIFAR10Dataset(root=str(tmp_path))
+        assert not ds.synthetic and len(ds) == 10
+        s = ds[0]
+        assert s["jpg"].shape == (32, 32, 3)
+        assert s["cls"] == 1
+
+    def test_cifar_synthetic_and_dataloader(self, tmp_path):
+        from ccedit_tpu.data.toy import CIFAR10Dataset
+
+        ds = CIFAR10Dataset(root=str(tmp_path), n_synthetic=8)
+        assert ds.synthetic
+        dl = DataLoader(ds, batch_size=4, seed=0)
+        b = next(iter(dl))
+        assert b["jpg"].shape == (4, 32, 32, 3)
+        assert b["cls"].shape == (4,)
+
+    def test_build_toy_dataset_targets(self, tmp_path):
+        from ccedit_tpu.data.toy import build_toy_dataset
+
+        ds = build_toy_dataset("sgm.data.mnist.MNISTLoader",
+                               {"root": str(tmp_path)})
+        assert ds[0]["jpg"].shape == (28, 28, 1)
+        ds2 = build_toy_dataset("sgm.data.cifar10.CIFAR10Loader",
+                                {"root": str(tmp_path)})
+        assert ds2[0]["jpg"].shape == (32, 32, 3)
