@@ -427,7 +427,13 @@ def run_pipeline(args, reference_mode: bool = False):
                 else:
                     sample_jit = jax.jit(_sample)
                 decode_jit = jax.jit(
-                    lambda p, z: engine.decode_first_stage(p, z)
+                    # quantize to uint8 ON DEVICE: the device->host fetch of
+                    # the decoded clip moves 4x fewer bytes than fp32 (the
+                    # fetch, not the mp4 encode, dominates save time on
+                    # RPC-tunneled hosts; save_video_frames accepts uint8)
+                    lambda p, z: jnp.clip(
+                        (engine.decode_first_stage(p, z) + 1.0) * 127.5,
+                        0, 255).astype(jnp.uint8)
                 )
 
             outputs = []

@@ -388,9 +388,9 @@ class DPMPP2SAncestralSampler(AncestralSampler):
     body would inline the multi-GB UNet HLO 2-3x, which overwhelmed the TPU
     remote-compile service at SD scale.
 
-    ``segment_size`` (>0): run the scan in equal-length chunks, each its own
-    device execution (one compile serves all chunks; identity rows pad the
-    tail).  Needed on infrastructures with per-execution RPC timeouts — a
+    ``segment_size`` (>0): run the scan in chunks of ``segment_size`` rows
+    plus a ragged tail, each its own device execution (two compiles serve
+    all chunks).  Needed on infrastructures with per-execution RPC timeouts — a
     full 30-step SD-scale clip is a ~3 min single call otherwise.  Only
     meaningful when the sampler is invoked eagerly (not under an outer jit).
 
@@ -440,14 +440,13 @@ class DPMPP2SAncestralSampler(AncestralSampler):
             else:
                 rows.append(dict(base, q=sig[i], phase=2, do_pre=1.0))
 
-        # identity padding rows (all phase flags zero) for equal segments
+        # Segment boundaries: a ragged final chunk instead of identity
+        # padding rows — a padding row still runs the full network eval
+        # (~0.95 s at SD scale) with its result multiplied by zero.  The
+        # ragged tail costs one extra trace+compile of the scan program
+        # (persistently cached), and each distinct chunk length is one jit
+        # specialization, so all tail lengths share the two programs.
         seg = self.segment_size
-        if seg and seg > 0:
-            pad = (-len(rows)) % seg
-            for _ in range(pad):
-                rows.append(dict(sigma=1.0, next_sigma=1.0, sigma_down=1.0,
-                                 sigma_up=0.0, m1=0.0, m2=0.0, m3=0.0, m4=0.0,
-                                 q=1.0, phase=-1, do_pre=0.0))
 
         def col(key):
             return np.asarray([r[key] for r in rows], dtype=np.float64)
@@ -514,12 +513,11 @@ class DPMPP2SAncestralSampler(AncestralSampler):
         entry = self._exec_cache.get(cache_key)
         if entry is None:
             if seg and seg > 0:
-                n_chunks = len(rows) // seg
+                starts = range(0, len(rows), seg)
                 consts_dev = [
                     jax.tree_util.tree_map(
-                        lambda a: jnp.asarray(a[ci * seg: (ci + 1) * seg]),
-                        consts_np)
-                    for ci in range(n_chunks)
+                        lambda a: jnp.asarray(a[s: s + seg]), consts_np)
+                    for s in starts
                 ]
             else:
                 consts_dev = jax.tree_util.tree_map(jnp.asarray, consts_np)

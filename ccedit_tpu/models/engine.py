@@ -203,6 +203,36 @@ class CCEditEngine:
 
         return fn
 
+    def _hoist_control_hint(self, net_params, cond_cat: Dict) -> Dict:
+        """The ControlNet hint pyramid depends only on the hint, so under the
+        sampling scan it is loop-invariant.  Precompute it once here (outside
+        the scan's network call site) and swap ``control_hint`` for
+        ``control_hint_features`` — bit-identical output, saves the 8-conv
+        full-res pyramid on every NFE row (~59x per clip)."""
+        if "control_hint" not in cond_cat:
+            return cond_cat
+        if not hasattr(self.network, "encode_control_hint"):
+            return cond_cat
+        if getattr(self.network, "controlnet", None) is None:
+            return cond_cat
+        encode = getattr(self, "_hint_encode_jit", None)
+        if encode is None:
+            # jit (cached on the instance) so the eager CLI path runs the
+            # pyramid as ONE device execution instead of ~16 op-by-op RPC
+            # dispatches; params enter as an argument, not a captured const.
+            # Under an outer jit (sharded sampling) tracing just inlines it.
+            encode = jax.jit(
+                lambda p, h: self.network.apply(
+                    {"params": p}, h, method=type(self.network).encode_control_hint,
+                )
+            )
+            self._hint_encode_jit = encode
+        feats = encode(net_params, cond_cat["control_hint"])
+        out = dict(cond_cat)
+        del out["control_hint"]
+        out["control_hint_features"] = feats
+        return out
+
     def make_denoise_fn(self, params, cond: Dict, uc: Optional[Dict]) -> Callable:
         """Returns denoise_fn(x, sigma_scalar) with CFG folded in; the
         conditioning concat happens once, outside the sampling scan.
@@ -213,6 +243,7 @@ class CCEditEngine:
         into the HLO as constants."""
         guider = self.guider if uc is not None else IdentityGuider()
         cond_cat = guider.prepare_cond(cond, uc)
+        cond_cat = self._hoist_control_hint(params["network"], cond_cat)
 
         def denoise_ctx(ctx, x, sigma):
             net_params, cc = ctx

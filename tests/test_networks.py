@@ -244,3 +244,29 @@ class TestCCEditNetwork:
         params = _init(net, x, t, cond)
         out = net.apply(params, x, t, cond)
         assert out.shape == x.shape
+
+    def test_precomputed_hint_features_match_raw_hint(self, rng):
+        """encode_control_hint + control_hint_features must be bit-identical
+        to the raw control_hint path (the pyramid is loop-invariant; hoisting
+        it out of the sampling scan must not change the network function)."""
+        unet = UNetModel(unet_type="pseudo-3d", **TINY)
+        cn = ControlNet2D(hint_channels=3, **TINY)
+        net = CCEditNetwork(unet=unet, controlnet=cn)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 8, 8, 4))
+        t = jnp.array([100])
+        hint = jax.random.uniform(
+            jax.random.PRNGKey(2), (1, 3, 64, 64, 3), minval=-1.0, maxval=1.0)
+        cond = {
+            "crossattn": jnp.ones((1, 7, 16)),
+            "control_hint": hint,
+        }
+        params = _init(net, x, t, cond)
+        ref = net.apply(params, x, t, cond)
+
+        feats = net.apply(params, hint,
+                          method=CCEditNetwork.encode_control_hint)
+        assert feats.shape == (1, 3, 8, 8, TINY["model_channels"])
+        cond2 = {"crossattn": cond["crossattn"],
+                 "control_hint_features": feats}
+        out = net.apply(params, x, t, cond2)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
