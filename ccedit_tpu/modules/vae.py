@@ -31,11 +31,16 @@ class VAEResnetBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, temb=None):
         out_ch = self.out_channels or self.in_channels
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
+        if temb is not None:
+            # timestep conditioning, used only by the full Model
+            # (model.py:77-90); the Encoder/Decoder always pass temb=None
+            h = h + nn.Dense(out_ch, dtype=self.dtype, name="temb_proj")(
+                nn.silu(temb))[:, None, None, :]
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
@@ -152,6 +157,87 @@ class Decoder(nn.Module):
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv_out")(h)
+
+
+class VAEModel(nn.Module):
+    """The full pixel-space DDPM UNet living in the VAE module family
+    (model.py:323-495 — unused by every shipped config; implemented for
+    inventory completeness).  Symmetric encoder-decoder with skip
+    connections, optional sinusoidal timestep conditioning, and optional
+    channel-concat context."""
+
+    ch: int = 128
+    out_ch: int = 3
+    ch_mult: Sequence[int] = (1, 2, 4, 8)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = ()
+    in_channels: int = 3
+    resolution: int = 256
+    use_timestep: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t=None, context=None):
+        from .layers import timestep_embedding
+
+        if context is not None:
+            x = jnp.concatenate([x, context], axis=-1)
+        temb = None
+        if self.use_timestep:
+            assert t is not None
+            temb = timestep_embedding(t, self.ch)
+            temb = nn.Dense(4 * self.ch, dtype=self.dtype, name="temb_dense0")(temb)
+            temb = nn.Dense(4 * self.ch, dtype=self.dtype,
+                            name="temb_dense1")(nn.silu(temb))
+
+        in_ch_mult = (1,) + tuple(self.ch_mult)
+        n_levels = len(self.ch_mult)
+        cur_res = self.resolution
+
+        hs = [nn.Conv(self.ch, (3, 3), padding="SAME", dtype=self.dtype,
+                      name="conv_in")(x)]
+        cur = self.ch
+        for level, mult in enumerate(self.ch_mult):
+            for i in range(self.num_res_blocks):
+                h = VAEResnetBlock(cur, self.ch * mult, dtype=self.dtype,
+                                   name=f"down_{level}_block_{i}")(hs[-1], temb)
+                cur = self.ch * mult
+                if cur_res in self.attn_resolutions:
+                    h = VAEAttnBlock(cur, dtype=self.dtype,
+                                     name=f"down_{level}_attn_{i}")(h)
+                hs.append(h)
+            if level != n_levels - 1:
+                hs.append(VAEDownsample(cur, dtype=self.dtype,
+                                        name=f"down_{level}_downsample")(hs[-1]))
+                cur_res //= 2
+
+        h = hs[-1]
+        h = VAEResnetBlock(cur, cur, dtype=self.dtype, name="mid_block_1")(h, temb)
+        h = VAEAttnBlock(cur, dtype=self.dtype, name="mid_attn_1")(h)
+        h = VAEResnetBlock(cur, cur, dtype=self.dtype, name="mid_block_2")(h, temb)
+
+        for level in reversed(range(n_levels)):
+            block_out = self.ch * self.ch_mult[level]
+            for i in range(self.num_res_blocks + 1):
+                skip = hs.pop()
+                h = VAEResnetBlock(
+                    cur + skip.shape[-1], block_out, dtype=self.dtype,
+                    name=f"up_{level}_block_{i}",
+                )(jnp.concatenate([h, skip], axis=-1), temb)
+                cur = block_out
+                if cur_res in self.attn_resolutions:
+                    h = VAEAttnBlock(cur, dtype=self.dtype,
+                                     name=f"up_{level}_attn_{i}")(h)
+            if level != 0:
+                h = VAEUpsample(cur, dtype=self.dtype,
+                                name=f"up_{level}_upsample")(h)
+                cur_res *= 2
+
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+                         name="norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype,
+                       name="conv_out")(h)
 
 
 class DiagonalGaussian:

@@ -270,3 +270,70 @@ class TestCCEditNetwork:
                  "control_hint_features": feats}
         out = net.apply(params, x, t, cond2)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+class TestUNetExtras:
+    """openaimodel tail classes (openaimodel.py:1642-1864) + the VAE-file
+    full Model (model.py:323-495) — unused by shipped configs; shape and
+    zero-init sanity."""
+
+    def test_no_time_unet_ignores_timesteps(self, rng):
+        from ccedit_tpu.modules.unet_extras import NoTimeUNetModel
+
+        net = NoTimeUNetModel(unet_type="2d", **TINY)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+        cond = jnp.ones((2, 7, 16))
+        p = net.init(jax.random.PRNGKey(1), x, jnp.array([5.0, 9.0]), cond)
+        a = net.apply(p, x, jnp.array([5.0, 9.0]), cond)
+        b = net.apply(p, x, jnp.array([800.0, 3.0]), cond)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_attention_block_zero_init_residual(self):
+        from ccedit_tpu.modules.unet_extras import AttentionBlock
+
+        blk = AttentionBlock(channels=64, num_heads=2)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 64))
+        p = blk.init(jax.random.PRNGKey(1), x)
+        # proj_out is zero-init -> block starts as identity
+        np.testing.assert_array_equal(np.asarray(blk.apply(p, x)), np.asarray(x))
+
+    @pytest.mark.parametrize("pool", ["adaptive", "attention", "spatial",
+                                      "spatial_v2"])
+    def test_encoder_unet_pools(self, pool):
+        from ccedit_tpu.modules.unet_extras import EncoderUNetModel
+
+        net = EncoderUNetModel(
+            image_size=32, in_channels=3, model_channels=32, out_channels=10,
+            num_res_blocks=1, attention_resolutions=(2,),
+            channel_mult=(1, 2), num_heads=2,
+            num_head_channels=16 if pool == "attention" else -1, pool=pool)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        p = net.init(jax.random.PRNGKey(1), x, jnp.array([10.0, 20.0]))
+        out = net.apply(p, x, jnp.array([10.0, 20.0]))
+        assert out.shape == (2, 10)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_vae_full_model_shapes_and_timestep(self):
+        from ccedit_tpu.modules.vae import VAEModel
+
+        m = VAEModel(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(16,), in_channels=3, resolution=32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        t = jnp.array([3.0, 77.0])
+        p = m.init(jax.random.PRNGKey(1), x, t)
+        out = m.apply(p, x, t)
+        assert out.shape == x.shape
+        # timestep-conditioned: different t -> different output
+        out2 = m.apply(p, x, jnp.array([500.0, 900.0]))
+        assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 0
+
+    def test_vae_full_model_no_timestep_with_context(self):
+        from ccedit_tpu.modules.vae import VAEModel
+
+        m = VAEModel(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                     in_channels=6, resolution=32, use_timestep=False)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        ctx = jnp.zeros((1, 32, 32, 3))
+        p = m.init(jax.random.PRNGKey(1), x, None, ctx)
+        out = m.apply(p, x, None, ctx)
+        assert out.shape == (1, 32, 32, 3)
