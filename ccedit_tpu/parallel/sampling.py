@@ -24,8 +24,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .mesh import MeshPlan
 
 # conditioning entries carrying per-frame (T at dim 1) and spatial (H,W at
-# dims 2,3) axes — video-shaped tensors
-_CLIP_KEYS = ("control_hint", "concat")
+# dims 2,3) axes — video-shaped tensors (control_hint_features is the
+# precomputed latent-res hint pyramid from encode_control_hint)
+_CLIP_KEYS = ("control_hint", "control_hint_features", "concat")
 
 
 def pick_clip_axis(plan: MeshPlan, shape: Sequence[int]) -> int:
