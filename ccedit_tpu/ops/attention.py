@@ -122,11 +122,48 @@ def _small_seq_ok(q, k) -> bool:
             and q.shape[-1] <= 256)
 
 
+# ---------------------------------------------------------------------------
+# int8-QK^T opt-in: quantized attention trades exactness (cosine ~0.99996 on
+# the production shapes) for a 1.49x spatial-attention speedup.  Enabled per
+# process via set_quantized_qk() or CCEDIT_QUANT_QK=1 (read once, lazily).
+_QUANT = {"qk": None}
+
+
+def set_quantized_qk(enabled: bool) -> None:
+    _QUANT["qk"] = bool(enabled)
+
+
+def quantized_qk_enabled() -> bool:
+    if _QUANT["qk"] is None:
+        import os
+
+        _QUANT["qk"] = os.environ.get("CCEDIT_QUANT_QK", "") not in ("", "0")
+    return _QUANT["qk"]
+
+
+def _kv_resident_ok(q, k) -> bool:
+    """Gate for the k/v-VMEM-resident transposed-layout kernel — beats the
+    stock flash kernel at the d<=64 big-token spatial shapes (measured:
+    33.1 vs 38.3 ms bf16, 25.8 ms int8 at (34,8,6144,40); and the CFCA
+    n_k=12288 variant).  d=80+ shapes stay on stock flash until measured."""
+    if not _is_tpu():
+        return False
+    from . import spatial_attention as sa
+
+    n_q, n_k, d = q.shape[-2], k.shape[-2], q.shape[-1]
+    return d <= 64 and sa.supported(n_q, n_k, d)
+
+
 def _attention_kernel(q, k, v, scale, force_xla):
     # NOTE (r3): a small-KV pallas kernel for the 77-token text cross-attn
     # (scores VMEM-resident) was built, measured 4.7-6.2 ms vs XLA's true
     # 2.3 ms at (34,8,6144,40)x77, and removed — the ~30 us/grid-step pallas
     # floor dominates an op this thin.  See docs/PERF_r3.md §6.
+    if not force_xla and _kv_resident_ok(q, k):
+        from .spatial_attention import kv_resident_attention
+
+        return kv_resident_attention(
+            q, k, v, scale, quantized_qk=quantized_qk_enabled())
     if not force_xla and _flash_ok(q, k):
         fa = _flash_fn()
         return fa.flash_attention(

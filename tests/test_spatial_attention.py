@@ -1,0 +1,94 @@
+"""k/v-VMEM-resident spatial attention kernel: parity + routing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccedit_tpu.ops.attention import _kv_resident_ok, _xla_attention
+from ccedit_tpu.ops.spatial_attention import (
+    _pick_qb,
+    kv_resident_attention,
+    supported,
+)
+
+INTERP = jax.default_backend() != "tpu"
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype)
+
+
+@pytest.mark.parametrize("nk", [512, 1024])
+def test_bf16_parity_single_chunk(nk):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = _rand(k1, (2, 2, 512, 40))
+    k = _rand(k2, (2, 2, nk, 40))
+    v = _rand(k3, (2, 2, nk, 40))
+    scale = 40 ** -0.5
+    out = kv_resident_attention(q, k, v, scale, interpret=INTERP)
+    ref = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-3)
+
+
+def test_chunked_nk_online_softmax():
+    """n_k > _MAX_CHUNK exercises the online-softmax merge across chunks."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = _rand(k1, (1, 2, 512, 40))
+    k = _rand(k2, (1, 2, 12288, 40)) * 3.0  # spread maxima across chunks
+    v = _rand(k3, (1, 2, 12288, 40))
+    scale = 40 ** -0.5
+    out = kv_resident_attention(q, k, v, scale, interpret=INTERP)
+    ref = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-3)
+
+
+def test_int8_quantized_close():
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = _rand(k1, (2, 4, 512, 40))
+    k = _rand(k2, (2, 4, 512, 40))
+    v = _rand(k3, (2, 4, 512, 40))
+    scale = 40 ** -0.5
+    out = np.asarray(
+        kv_resident_attention(q, k, v, scale, quantized_qk=True,
+                              interpret=INTERP), np.float32)
+    ref = np.asarray(_xla_attention(q, k, v, scale), np.float32)
+    cos = (out * ref).sum() / (np.linalg.norm(out) * np.linalg.norm(ref))
+    assert cos > 0.9995, cos
+    assert np.max(np.abs(out - ref)) < 0.05
+
+
+def test_supported_gate():
+    assert supported(6144, 6144, 40)          # l0 self-attn
+    assert supported(6144, 12288, 40)         # CFCA center_self
+    assert not supported(6144, 77, 40)        # text cross-attn: n_k%128
+    assert not supported(384, 384, 160)       # l2: too few tokens
+    assert not supported(6144, 6144, 512)     # VAE mid: k/v too big for VMEM
+    assert _pick_qb(6144, 6144) == 512
+    assert _pick_qb(6144, 12288) == 512
+    assert _pick_qb(768, 6144) == 256
+
+
+def test_dispatch_gate_matches_backend():
+    q = jnp.zeros((2, 2, 6144, 40))
+    k = jnp.zeros((2, 2, 6144, 40))
+    on_tpu = jax.default_backend() == "tpu"
+    assert _kv_resident_ok(q, k) == on_tpu
+    # d=80 shapes stay on stock flash until measured
+    q80 = jnp.zeros((2, 2, 1536, 80))
+    assert not _kv_resident_ok(q80, q80)
+
+
+def test_bf16_inputs_roundtrip_dtype():
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = _rand(k1, (1, 2, 512, 40), jnp.bfloat16)
+    k = _rand(k2, (1, 2, 512, 40), jnp.bfloat16)
+    v = _rand(k3, (1, 2, 512, 40), jnp.bfloat16)
+    out = kv_resident_attention(q, k, v, 40 ** -0.5, interpret=INTERP)
+    assert out.dtype == jnp.bfloat16
+    ref = _xla_attention(q, k, v, 40 ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=2e-2)
