@@ -143,15 +143,15 @@ def quantized_qk_enabled() -> bool:
 
 def _kv_resident_ok(q, k) -> bool:
     """Gate for the k/v-VMEM-resident transposed-layout kernel — beats the
-    stock flash kernel at the d<=64 big-token spatial shapes (measured:
-    33.1 vs 38.3 ms bf16, 25.8 ms int8 at (34,8,6144,40); and the CFCA
-    n_k=12288 variant).  d=80+ shapes stay on stock flash until measured."""
+    stock flash kernel at every eligible production shape (measured v5e,
+    bf16/int8 vs stock): l0 (34,8,6144,40) 33.8/28.2 vs 39.0; CFCA
+    n_k=12288 66.9/57.1 vs 75.1; l1 (34,8,1536,80) 2.5/2.1 vs 3.0."""
     if not _is_tpu():
         return False
     from . import spatial_attention as sa
 
     n_q, n_k, d = q.shape[-2], k.shape[-2], q.shape[-1]
-    return d <= 64 and sa.supported(n_q, n_k, d)
+    return sa.supported(n_q, n_k, d)
 
 
 def _attention_kernel(q, k, v, scale, force_xla):

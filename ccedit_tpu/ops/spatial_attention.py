@@ -44,8 +44,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # score buffer budget: (chunk, qb) fp32 <= ~12.6 MB alongside q/k/v blocks
+# for the single-chunk fast path; multi-chunk (online-softmax) runs keep the
+# score buffer at <= ~6.3 MB since the loop carry and both operand chunks
+# are live alongside it
 _MAX_CHUNK = 6144
+_MULTI_CHUNK = 3072
 _LOG2E = 1.4426950408889634
+
+
+def _n_chunks(n_k: int) -> int:
+    return 1 if n_k <= _MAX_CHUNK else -(-n_k // _MULTI_CHUNK)
 
 
 def _kernel(sc_ref, q_ref, k_ref, v_ref, o_ref, *, n_chunks: int,
@@ -59,31 +67,45 @@ def _kernel(sc_ref, q_ref, k_ref, v_ref, o_ref, *, n_chunks: int,
     qt = q_ref[0]
     c = sc_ref[0, 0, 0] * _LOG2E  # exp(x*scale) == exp2(x*scale*log2e)
 
-    acc = None
-    m = None
-    l = None
-    for i in range(n_chunks):
-        kc = k_ref[0][:, i * chunk:(i + 1) * chunk]
+    def chunk_at(i):
+        kc = k_ref[0, :, pl.ds(i * chunk, chunk)]
         st = jax.lax.dot_general(
             kc, qt, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.int32 if quant else jnp.float32,
         )  # (chunk, qb)
         s2 = st.astype(jnp.float32) * c
         mc = jnp.max(s2, axis=0, keepdims=True)  # (1, qb)
-        m_new = mc if m is None else jnp.maximum(m, mc)
-        p = jnp.exp2(s2 - m_new)  # (chunk, qb)
+        return s2, mc
+
+    def weighted_sum(s2, m_cur, i):
+        p = jnp.exp2(s2 - m_cur)  # (chunk, qb)
         lc = jnp.sum(p, axis=0, keepdims=True)
-        vc = v_ref[0][:, i * chunk:(i + 1) * chunk]
+        vc = v_ref[0, :, pl.ds(i * chunk, chunk)]
         oc = jax.lax.dot_general(
             vc, p.astype(vc.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (D, qb)
-        if acc is None:
-            acc, l, m = oc, lc, m_new
-        else:
+        return lc, oc
+
+    if n_chunks == 1:
+        s2, m = chunk_at(0)
+        l, acc = weighted_sum(s2, m, 0)
+    else:
+        # online softmax over k chunks; fori_loop (not an unrolled python
+        # loop) so Mosaic reuses ONE score buffer — unrolling keeps every
+        # chunk's (chunk, qb) fp32 scores live and blows scoped VMEM
+        def body(i, carry):
+            m, l, acc = carry
+            s2, mc = chunk_at(i)
+            m_new = jnp.maximum(m, mc)
+            lc, oc = weighted_sum(s2, m_new, i)
             corr = jnp.exp2(m - m_new)
-            acc = acc * corr + oc
-            l = l * corr + lc
-            m = m_new
+            return m_new, l * corr + lc, acc * corr + oc
+        qb = qt.shape[-1]
+        d = qt.shape[0]
+        init = (jnp.full((1, qb), -jnp.inf, jnp.float32),
+                jnp.zeros((1, qb), jnp.float32),
+                jnp.zeros((d, qb), jnp.float32))
+        m, l, acc = jax.lax.fori_loop(0, n_chunks, body, init)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
@@ -94,7 +116,7 @@ def _run(scales, qt, kt, vt, qb: int, interpret: bool):
     where a sub-tile SMEM block would not."""
     bh, d, n_q = qt.shape
     n_k = kt.shape[2]
-    n_chunks = max(1, -(-n_k // _MAX_CHUNK))
+    n_chunks = _n_chunks(n_k)
     chunk = n_k // n_chunks
     qspec = pl.BlockSpec((1, d, qb), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM)
@@ -115,8 +137,11 @@ def _run(scales, qt, kt, vt, qb: int, interpret: bool):
 
 
 def _pick_qb(n_q: int, n_k: int) -> int:
-    # score buffer (min(n_k, MAX_CHUNK), qb) fp32 must stay ~<= 12.6 MB
-    budget = 12.6e6 / 4 / min(n_k, _MAX_CHUNK)
+    # score buffer (chunk, qb) fp32 must stay ~<= 12.6 MB (single-chunk) /
+    # ~6.3 MB (multi-chunk: loop carry + operand chunks also live)
+    n_chunks = _n_chunks(n_k)
+    chunk = max(1, n_k // n_chunks)
+    budget = (12.6e6 if n_chunks == 1 else 6.3e6) / 4 / chunk
     for qb in (512, 256, 128):
         if n_q % qb == 0 and qb <= budget:
             return qb
@@ -126,7 +151,7 @@ def _pick_qb(n_q: int, n_k: int) -> int:
 def supported(n_q: int, n_k: int, d: int) -> bool:
     """Shapes this kernel handles better than the stock flash kernel
     (measured: d=40 l0 self-attn and the n_k-doubled CFCA variant)."""
-    n_chunks = max(1, -(-n_k // _MAX_CHUNK))
+    n_chunks = _n_chunks(n_k)
     return (
         n_q >= 512
         and d % 8 == 0
