@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.nn.initializers import zeros as zeros_init
 
+from ..ops.quant import QConv, QDense
 from ..ops.video import fold_time, temporal_to_tokens, tokens_to_temporal
 
 Dtype = Any
@@ -48,7 +49,7 @@ class Upsample(nn.Module):
     def __call__(self, x):
         x = nearest_upsample_2x(x)
         if self.use_conv:
-            x = nn.Conv(
+            x = QConv(
                 self.out_channels or self.channels, (3, 3), padding="SAME",
                 dtype=self.dtype, name="conv",
             )(x)
@@ -66,7 +67,7 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.use_conv:
-            return nn.Conv(
+            return QConv(
                 self.out_channels or self.channels, (3, 3), strides=(2, 2),
                 padding=((1, 1), (1, 1)), dtype=self.dtype, name="op",
             )(x)
@@ -83,7 +84,7 @@ class TemporalConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(
+        return QConv(
             self.channels, (self.kernel_size,), padding="SAME",
             kernel_init=zeros_init, bias_init=zeros_init,
             dtype=self.dtype, name="conv",
@@ -128,7 +129,7 @@ class Upsample3D(nn.Module):
         if not self.use_conv:
             return x
         out_ch = self.out_channels or self.channels
-        conv = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv")
+        conv = QConv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv")
         tconv = TemporalConv(out_ch, dtype=self.dtype, name="conv_temporal")
         return spatial_temporal(x, conv, tconv)
 
@@ -149,7 +150,7 @@ class Downsample3D(nn.Module):
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
             return x.reshape(b, t, h // 2, w // 2, c)
         out_ch = self.out_channels or self.channels
-        conv = nn.Conv(
+        conv = QConv(
             out_ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
             dtype=self.dtype, name="op",
         )
@@ -190,12 +191,12 @@ class ResBlock(nn.Module):
             h = resample(h)
             x = resample(x)
 
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="in_conv")(h)
+        h = QConv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="in_conv")(h)
 
         if self.skip_t_emb:
             emb_out = jnp.zeros((x.shape[0], out_ch), dtype=h.dtype)
         else:
-            emb_out = nn.Dense(
+            emb_out = QDense(
                 2 * out_ch if self.use_scale_shift_norm else out_ch,
                 dtype=self.dtype, name="emb_dense",
             )(nn.silu(emb))
@@ -209,7 +210,7 @@ class ResBlock(nn.Module):
             h = h + emb_out
             h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="out_norm")(h)
         h = nn.silu(h)
-        h = nn.Conv(
+        h = QConv(
             out_ch, (3, 3), padding="SAME", kernel_init=zeros_init,
             bias_init=zeros_init, dtype=self.dtype, name="out_conv",
         )(h)
@@ -217,9 +218,9 @@ class ResBlock(nn.Module):
         if out_ch == self.channels:
             skip = x
         elif self.use_conv_skip:
-            skip = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="skip_conv")(x)
+            skip = QConv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="skip_conv")(x)
         else:
-            skip = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="skip_conv")(x)
+            skip = QConv(out_ch, (1, 1), dtype=self.dtype, name="skip_conv")(x)
         return skip + h
 
 
@@ -261,7 +262,7 @@ class ResBlock3D(nn.Module):
             alpha2 = self.param("alpha_temporal2", nn.initializers.ones, ())
 
         in_norm = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="in_norm")
-        in_conv = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="in_conv")
+        in_conv = QConv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="in_conv")
         in_tnorm = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="in_norm_temporal")
         in_tconv = TemporalConv(out_ch, self.temporal_kernel_size, dtype=self.dtype, name="in_conv_temporal")
 
@@ -297,13 +298,13 @@ class ResBlock3D(nn.Module):
         if self.skip_t_emb:
             emb_out = jnp.zeros((b, out_ch), dtype=x5.dtype)
         else:
-            emb_out = nn.Dense(
+            emb_out = QDense(
                 2 * out_ch if self.use_scale_shift_norm else out_ch,
                 dtype=self.dtype, name="emb_dense",
             )(nn.silu(emb))
 
         out_norm = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="out_norm")
-        out_conv = nn.Conv(
+        out_conv = QConv(
             out_ch, (3, 3), padding="SAME", kernel_init=zeros_init,
             bias_init=zeros_init, dtype=self.dtype, name="out_conv",
         )
@@ -360,9 +361,9 @@ class ResBlock3D(nn.Module):
             skip = identity  # temporal twin is None -> pure identity
         else:
             if self.use_conv_skip:
-                sconv = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="skip_conv")
+                sconv = QConv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="skip_conv")
             else:
-                sconv = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="skip_conv")
+                sconv = QConv(out_ch, (1, 1), dtype=self.dtype, name="skip_conv")
             stconv = TemporalConv(
                 out_ch,
                 self.temporal_kernel_size if self.use_conv_skip else 1,

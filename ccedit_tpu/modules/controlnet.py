@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax.nn.initializers import zeros as zeros_init
 
+from ..ops.quant import QConv
 from ..ops.video import fold_time, unfold_time
 from .layers import timestep_embedding
 from .unet import NUM_REF_CFCA, UNetModel
@@ -43,10 +44,10 @@ class HintPyramid(nn.Module):
     def __call__(self, h):
         for i, (ch, s) in enumerate(zip(_HINT_CHANNELS, _HINT_STRIDES)):
             pad = "SAME" if s == 1 else ((1, 1), (1, 1))
-            h = nn.Conv(ch, (3, 3), strides=(s, s), padding=pad,
+            h = QConv(ch, (3, 3), strides=(s, s), padding=pad,
                         dtype=self.dtype, name=f"conv_{i}")(h)
             h = nn.silu(h)
-        return nn.Conv(
+        return QConv(
             self.model_channels, (3, 3), padding="SAME",
             kernel_init=zeros_init, bias_init=zeros_init,
             dtype=self.dtype, name="conv_out",
@@ -59,7 +60,7 @@ class ZeroConv2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(
+        return QConv(
             self.features, (1, 1), kernel_init=zeros_init, bias_init=zeros_init,
             dtype=self.dtype, name="conv",
         )(x)
@@ -197,10 +198,10 @@ class HintPyramidLatent(nn.Module):
     @nn.compact
     def __call__(self, h):
         for i, ch in enumerate(_HINT_CHANNELS):
-            h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+            h = QConv(ch, (3, 3), padding="SAME", dtype=self.dtype,
                         name=f"conv_{i}")(h)
             h = nn.silu(h)
-        return nn.Conv(
+        return QConv(
             self.model_channels, (3, 3), padding="SAME",
             kernel_init=zeros_init, bias_init=zeros_init,
             dtype=self.dtype, name="conv_out",

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.nn.initializers import zeros as zeros_init
 
 from ..ops.attention import dot_product_attention
+from ..ops.quant import QConv, QDense
 from ..ops.video import (
     fold_time,
     repeat_ctx_temporal,
@@ -53,9 +54,9 @@ class CrossAttention(nn.Module):
     def __call__(self, x, context=None, kv_reuse_every: int = 0):
         inner = self.heads * self.dim_head
         context = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q = QDense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = QDense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = QDense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
 
         if kv_reuse_every:
             n = kv_reuse_every
@@ -70,7 +71,7 @@ class CrossAttention(nn.Module):
         out = dot_product_attention(split_heads(q), split_heads(k), split_heads(v))
         b, h, l, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
-        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+        return QDense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 
 class GEGLU(nn.Module):
@@ -79,7 +80,7 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        x = QDense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         x, gate = jnp.split(x, 2, axis=-1)
         return x * nn.gelu(gate)
 
@@ -96,8 +97,8 @@ class FeedForward(nn.Module):
         if self.glu:
             x = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
         else:
-            x = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="net_0")(x))
-        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+            x = nn.gelu(QDense(inner, dtype=self.dtype, name="net_0")(x))
+        return QDense(self.dim, dtype=self.dtype, name="net_2")(x)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -172,8 +173,8 @@ def _proj(features, use_linear, zero, dtype, name):
     param tree mirrors the checkpoint family being loaded."""
     init = dict(kernel_init=zeros_init, bias_init=zeros_init) if zero else {}
     if use_linear:
-        return nn.Dense(features, dtype=dtype, name=name, **init)
-    return nn.Conv(features, kernel_size=(1, 1), dtype=dtype, name=name, **init)
+        return QDense(features, dtype=dtype, name=name, **init)
+    return QConv(features, kernel_size=(1, 1), dtype=dtype, name=name, **init)
 
 
 class SpatialTransformer(nn.Module):
@@ -316,10 +317,10 @@ class SpatialTransformer3D(nn.Module):
         )(x)
         # 1D conv k=1 == dense; zero-init in both parameterizations
         if self.use_linear:
-            x = nn.Dense(inner, kernel_init=zeros_init, bias_init=zeros_init,
+            x = QDense(inner, kernel_init=zeros_init, bias_init=zeros_init,
                          dtype=self.dtype, name="proj_in_temporal")(x)
         else:
-            x = nn.Conv(inner, kernel_size=(1,), kernel_init=zeros_init,
+            x = QConv(inner, kernel_size=(1,), kernel_init=zeros_init,
                         bias_init=zeros_init, dtype=self.dtype,
                         name="proj_in_temporal")(x)
         for d in range(self.depth):
@@ -338,11 +339,11 @@ class SpatialTransformer3D(nn.Module):
                 )
                 x = blk(x, context=context_tok)
         if self.use_linear:
-            x = nn.Dense(self.in_channels, kernel_init=zeros_init,
+            x = QDense(self.in_channels, kernel_init=zeros_init,
                          bias_init=zeros_init, dtype=self.dtype,
                          name="proj_out_temporal")(x)
         else:
-            x = nn.Conv(self.in_channels, kernel_size=(1,), kernel_init=zeros_init,
+            x = QConv(self.in_channels, kernel_size=(1,), kernel_init=zeros_init,
                         bias_init=zeros_init, dtype=self.dtype,
                         name="proj_out_temporal")(x)
         if self.use_learnable_alpha:

@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax.nn.initializers import zeros as zeros_init
 
+from ..ops.quant import QConv
 from .blocks import (
     Downsample,
     Downsample3D,
@@ -171,7 +172,7 @@ class UNetModel(nn.Module):
             self.label_emb = TimeEmbed(4 * ch, dtype=self.dtype, name="label_emb")
 
         # --- encoder ---
-        input_blocks = [[("conv_in", nn.Conv(ch, (3, 3), padding="SAME",
+        input_blocks = [[("conv_in", QConv(ch, (3, 3), padding="SAME",
                                              dtype=self.dtype, name="conv_in"))]]
         enc_chans = [ch]
         cur = ch
@@ -234,7 +235,7 @@ class UNetModel(nn.Module):
 
         self.out_norm = nn.GroupNorm(num_groups=32, epsilon=1e-5,
                                      dtype=self.dtype, name="out_norm")
-        self.out_conv = nn.Conv(
+        self.out_conv = QConv(
             self.out_channels, (3, 3), padding="SAME",
             kernel_init=zeros_init, bias_init=zeros_init,
             dtype=self.dtype, name="out_conv",

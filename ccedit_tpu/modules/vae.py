@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.quant import QConv, QDense
 from ..ops.attention import dot_product_attention
 from .blocks import nearest_upsample_2x
 
@@ -35,17 +36,17 @@ class VAEResnetBlock(nn.Module):
         out_ch = self.out_channels or self.in_channels
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
+        h = QConv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             # timestep conditioning, used only by the full Model
             # (model.py:77-90); the Encoder/Decoder always pass temb=None
-            h = h + nn.Dense(out_ch, dtype=self.dtype, name="temb_proj")(
+            h = h + QDense(out_ch, dtype=self.dtype, name="temb_proj")(
                 nn.silu(temb))[:, None, None, :]
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
+        h = QConv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
         if out_ch != self.in_channels:
-            x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+            x = QConv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
         return x + h
 
 
@@ -59,11 +60,11 @@ class VAEAttnBlock(nn.Module):
     def __call__(self, x):
         n, h, w, c = x.shape
         hid = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(hid).reshape(n, 1, h * w, c)
-        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(hid).reshape(n, 1, h * w, c)
-        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(hid).reshape(n, 1, h * w, c)
+        q = QConv(c, (1, 1), dtype=self.dtype, name="q")(hid).reshape(n, 1, h * w, c)
+        k = QConv(c, (1, 1), dtype=self.dtype, name="k")(hid).reshape(n, 1, h * w, c)
+        v = QConv(c, (1, 1), dtype=self.dtype, name="v")(hid).reshape(n, 1, h * w, c)
         out = dot_product_attention(q, k, v).reshape(n, h, w, c)
-        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
+        out = QConv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
         return x + out
 
 
@@ -75,7 +76,7 @@ class VAEDownsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(
+        return QConv(
             self.channels, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)),
             dtype=self.dtype, name="conv",
         )(x)
@@ -88,7 +89,7 @@ class VAEUpsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nearest_upsample_2x(x)
-        return nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(x)
+        return QConv(self.channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(x)
 
 
 class Encoder(nn.Module):
@@ -104,7 +105,7 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(self.ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv_in")(x)
+        h = QConv(self.ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv_in")(x)
         cur_res = self.resolution
         cur = self.ch
         for level, mult in enumerate(self.ch_mult):
@@ -123,7 +124,7 @@ class Encoder(nn.Module):
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm_out")(h)
         h = nn.silu(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
-        return nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv_out")(h)
+        return QConv(out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv_out")(h)
 
 
 class Decoder(nn.Module):
@@ -140,7 +141,7 @@ class Decoder(nn.Module):
     def __call__(self, z):
         cur = self.ch * self.ch_mult[-1]
         cur_res = self.resolution // 2 ** (len(self.ch_mult) - 1)
-        h = nn.Conv(cur, (3, 3), padding="SAME", dtype=self.dtype, name="conv_in")(z)
+        h = QConv(cur, (3, 3), padding="SAME", dtype=self.dtype, name="conv_in")(z)
         h = VAEResnetBlock(cur, cur, dtype=self.dtype, name="mid_block_1")(h)
         h = VAEAttnBlock(cur, dtype=self.dtype, name="mid_attn_1")(h)
         h = VAEResnetBlock(cur, cur, dtype=self.dtype, name="mid_block_2")(h)
@@ -156,7 +157,7 @@ class Decoder(nn.Module):
                 cur_res *= 2
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm_out")(h)
         h = nn.silu(h)
-        return nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv_out")(h)
+        return QConv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv_out")(h)
 
 
 class VAEModel(nn.Module):
@@ -186,15 +187,15 @@ class VAEModel(nn.Module):
         if self.use_timestep:
             assert t is not None
             temb = timestep_embedding(t, self.ch)
-            temb = nn.Dense(4 * self.ch, dtype=self.dtype, name="temb_dense0")(temb)
-            temb = nn.Dense(4 * self.ch, dtype=self.dtype,
+            temb = QDense(4 * self.ch, dtype=self.dtype, name="temb_dense0")(temb)
+            temb = QDense(4 * self.ch, dtype=self.dtype,
                             name="temb_dense1")(nn.silu(temb))
 
         in_ch_mult = (1,) + tuple(self.ch_mult)
         n_levels = len(self.ch_mult)
         cur_res = self.resolution
 
-        hs = [nn.Conv(self.ch, (3, 3), padding="SAME", dtype=self.dtype,
+        hs = [QConv(self.ch, (3, 3), padding="SAME", dtype=self.dtype,
                       name="conv_in")(x)]
         cur = self.ch
         for level, mult in enumerate(self.ch_mult):
@@ -236,7 +237,7 @@ class VAEModel(nn.Module):
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
                          name="norm_out")(h)
         h = nn.silu(h)
-        return nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype,
+        return QConv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype,
                        name="conv_out")(h)
 
 
@@ -299,8 +300,8 @@ class AutoencoderKL(nn.Module):
             z_channels=self.z_channels, resolution=self.resolution,
             dtype=self.dtype, name="decoder",
         )
-        self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1), dtype=self.dtype, name="quant_conv")
-        self.post_quant_conv = nn.Conv(self.z_channels, (1, 1), dtype=self.dtype, name="post_quant_conv")
+        self.quant_conv = QConv(2 * self.embed_dim, (1, 1), dtype=self.dtype, name="quant_conv")
+        self.post_quant_conv = QConv(self.z_channels, (1, 1), dtype=self.dtype, name="post_quant_conv")
 
     @staticmethod
     def _fold(x) -> Tuple[jnp.ndarray, Optional[int]]:

@@ -125,7 +125,9 @@ def _small_seq_ok(q, k) -> bool:
 # ---------------------------------------------------------------------------
 # int8-QK^T opt-in: quantized attention trades exactness (cosine ~0.99996 on
 # the production shapes) for a 1.49x spatial-attention speedup.  Enabled per
-# process via set_quantized_qk() or CCEDIT_QUANT_QK=1 (read once, lazily).
+# process via set_quantized_qk(), CCEDIT_QUANT_QK=1, or the umbrella
+# CCEDIT_INT8=1 (which also enables the W8A8 conv/dense path, ops/quant.py).
+# Read once, lazily.
 _QUANT = {"qk": None}
 
 
@@ -137,7 +139,10 @@ def quantized_qk_enabled() -> bool:
     if _QUANT["qk"] is None:
         import os
 
-        _QUANT["qk"] = os.environ.get("CCEDIT_QUANT_QK", "") not in ("", "0")
+        _QUANT["qk"] = (
+            os.environ.get("CCEDIT_QUANT_QK", "") not in ("", "0")
+            or os.environ.get("CCEDIT_INT8", "") not in ("", "0")
+        )
     return _QUANT["qk"]
 
 

@@ -38,6 +38,18 @@ def scale_learning_rate(base_lr: float, accumulate: int, n_devices: int,
     return min(accumulate * n_devices * batch_size * base_lr, cap)
 
 
+def assert_exact_arithmetic() -> None:
+    """Refuse to train with the int8 W8A8 inference path enabled: jnp.round
+    has zero gradient a.e., so gradients through quantized convs/matmuls are
+    silently wrong (ops/quant.py is inference-only by design)."""
+    from ..ops.quant import quantized_matmul_enabled
+
+    if quantized_matmul_enabled():
+        raise RuntimeError(
+            "training requires exact arithmetic: unset CCEDIT_QUANT_MATMUL/"
+            "CCEDIT_INT8 or call set_quantized_matmul(False) before fit()")
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     logdir: str = "logs/run"
@@ -183,6 +195,7 @@ class Trainer:
 
     # -- main loop ----------------------------------------------------
     def fit(self, loader, batch_size: int, resume: bool = True):
+        assert_exact_arithmetic()
         cfg = self.cfg
         n_dev = self.plan.n_data
         lr = (
