@@ -18,6 +18,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platform_name", "cpu")
 
+# Deregister the axon TPU plugin BEFORE any backend query: jax initializes
+# every registered platform (not just jax_platform_name), and the axon
+# client's make_c_api_client blocks forever when the RPC tunnel is wedged —
+# which took down whole test runs.  Tests are CPU-only by contract, so the
+# factory must never run.  (Equivalent: invoke pytest with
+# `env -u PALLAS_AXON_POOL_IPS`, which stops sitecustomize registering it.)
+try:  # noqa: SIM105
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+    # the image env pins JAX_PLATFORMS=axon; with the factory gone that
+    # name would be an init error — pin the config to cpu instead
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 assert jax.devices()[0].platform == "cpu", (
     f"tests must run on virtual CPU devices, got {jax.devices()}"
 )
