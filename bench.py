@@ -202,13 +202,9 @@ def main():
 
         import numpy as np
 
-        from ccedit_tpu.conditioning.annotators.base import midas_postprocess
+        from ccedit_tpu.conditioning.annotators.chunked import chunked_depth_hint
         from ccedit_tpu.conditioning.annotators.dpt_midas import DPTHybrid
-        from ccedit_tpu.data.video import (
-            load_video_keyframes,
-            save_video_frames,
-            to_uint8,
-        )
+        from ccedit_tpu.data.video import load_video_keyframes, save_video_frames
         from ccedit_tpu.modules.clip import CLIPTextModel
 
         tmpdir = tempfile.mkdtemp(prefix="bench_e2e_")
@@ -236,13 +232,10 @@ def main():
         tokens = jnp.zeros((2, 77), jnp.int32)
         clip_params = materialize(jax.eval_shape(clipm.init, rng, tokens))
 
-        @jax.jit
-        def make_hint(dp, frames_u8):
-            # frames arrive uint8 (4x cheaper host->device upload on the RPC
-            # tunnel); dequantize to [-1, 1] on device
-            frames = frames_u8.astype(dtype) / 127.5 - 1.0
-            depth = dpt.apply(dp, frames)
-            return midas_postprocess(depth.astype(jnp.float32)).astype(dtype)
+        # chunk-pipelined depth: device_put(chunk)+DPT(chunk) dispatched
+        # per 5-frame chunk (uploads overlap compute), ONE clip-global MiDaS
+        # postprocess at the end — exact DepthMidasEncoder semantics
+        make_hint = chunked_depth_hint(dpt, chunk=5, dtype=dtype)
 
         @jax.jit
         def embed_text(cp, toks):
@@ -254,9 +247,10 @@ def main():
         try:
             out = hard_sync(edit_clip(x0, jax.random.PRNGKey(2)))
             if mode == "e2e":
-                frames_np = load_video_keyframes(
-                    src_path, target_fps=6.0, num_keyframes=T, size_hw=(H, W))
-                hard_sync(make_hint(dpt_params, jnp.asarray(to_uint8(frames_np))))
+                frames_u8 = load_video_keyframes(
+                    src_path, target_fps=6.0, num_keyframes=T, size_hw=(H, W),
+                    out_dtype="uint8")
+                hard_sync(make_hint(dpt_params, frames_u8))
                 hard_sync(embed_text(clip_params, tokens))
             break
         except Exception as e:  # transient remote-compile failures
@@ -277,10 +271,11 @@ def main():
             # full pipeline, each stage synced so stages sum to the total
             stages = {}
             t0 = time.time()
-            frames_np = load_video_keyframes(
-                src_path, target_fps=6.0, num_keyframes=T, size_hw=(H, W))
+            frames_u8 = load_video_keyframes(
+                src_path, target_fps=6.0, num_keyframes=T, size_hw=(H, W),
+                out_dtype="uint8")
             t1 = time.time(); stages["decode_s"] = t1 - t0
-            hint = hard_sync(make_hint(dpt_params, jnp.asarray(to_uint8(frames_np))))
+            hint = hard_sync(make_hint(dpt_params, frames_u8))
             t2 = time.time(); stages["depth_s"] = t2 - t1
             txt = hard_sync(embed_text(clip_params, tokens))
             t3 = time.time(); stages["text_s"] = t3 - t2

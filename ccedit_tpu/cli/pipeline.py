@@ -261,8 +261,9 @@ def make_inpaint_mask(frames: np.ndarray, factor: int = 8) -> np.ndarray:
     """Latent-resolution inpainting mask from the hint video: generate (1)
     where the clip is pure white, keep (0) elsewhere — the mask recipe
     sketched in sampling_tv2v.py:385-407 (area-downsample xf, round, clamp).
-    frames: (T,H,W,3) in [-1,1] -> (1,T,H/f,W/f,1)."""
-    px = (frames[..., 1] >= 1.0 - 1e-6).astype(np.float32)  # green channel
+    frames: (T,H,W,3) in [-1,1] (or raw uint8) -> (1,T,H/f,W/f,1)."""
+    white = 255 if frames.dtype == np.uint8 else 1.0 - 1e-6
+    px = (frames[..., 1] >= white).astype(np.float32)  # green channel
     t, h, w = px.shape
     f = factor
     pooled = px.reshape(t, h // f, f, w // f, f).mean(axis=(2, 4))  # area
@@ -345,10 +346,13 @@ def run_pipeline(args, reference_mode: bool = False):
                 continue
 
             try:
+                # uint8 end to end until the device edge: decoders emit uint8
+                # natively and the upload ships 4x fewer bytes (PERF_r3 §16);
+                # embedders/engine dequantize on device (as_float_frames)
                 frames = load_video_keyframes(
                     job["video"], args.original_fps, args.target_fps,
-                    args.num_keyframes, (args.H, args.W),
-                )  # (T,H,W,3)
+                    args.num_keyframes, (args.H, args.W), out_dtype="uint8",
+                )  # (T,H,W,3) uint8
             except Exception as e:  # per-job fault tolerance (:312-328)
                 print(f"[error] {job_key}: failed to load video: {e}")
                 continue

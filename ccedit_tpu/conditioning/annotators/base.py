@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...utils.misc import as_float_frames
 from ..embedders import Embedder
 
 
@@ -90,12 +91,24 @@ class AnnotatorEmbedder(Embedder):
         self.backbone_params = backbone_params
         self.allow_fake = allow_fake
         self.safe = safe  # safe_step quantization (modules.py:1433-1434)
+        self._chunked = None  # lazy ChunkedAnnotator (eager-inference path)
+        self._chunk_memo = None  # (input id/shape key, input ref, output)
 
     def init_params(self, rng, prepared):
         return None  # frozen; real backbone params are loaded, not initialized
 
     def embed(self, params, prepared):
-        x = jnp.asarray(prepared)  # (B,T,H,W,3) in [-1,1]
+        if (
+            isinstance(prepared, np.ndarray)
+            and self.kind == "depth_midas"
+            and self.backbone is not None
+        ):
+            # eager inference with a host-resident clip: chunk-pipeline the
+            # upload behind the DPT compute (PERF_r3 §16 — the whole depth
+            # stage drops from 2.1-4.5 s to ~0.6 s on an RPC-tunneled host);
+            # exact same math, just overlapped transfers
+            return self._embed_host_chunked(prepared)
+        x = as_float_frames(prepared)  # (B,T,H,W,3) in [-1,1] (uint8 ok)
         b, t = x.shape[0], x.shape[1]
         frames = x.reshape((b * t,) + x.shape[2:])
 
@@ -186,6 +199,31 @@ class AnnotatorEmbedder(Embedder):
                 "provide converted weights"
             )
         return out.reshape((b, t) + out.shape[1:])
+
+    def _embed_host_chunked(self, video_np: np.ndarray):
+        """Depth hint via the chunk-pipelined driver (chunked.py): per-chunk
+        device_put + backbone dispatch, ONE clip-global MiDaS postprocess.
+        Memoized on the exact input array: the sampling CLI passes the same
+        clip in batch and batch_uc, so the second conditioner pass reuses the
+        hint instead of re-running DPT."""
+        key = (id(video_np), video_np.shape, video_np.dtype)
+        if self._chunk_memo is not None and self._chunk_memo[0] == key:
+            return self._chunk_memo[2]
+        from .chunked import ChunkedAnnotator
+
+        if self._chunked is None:
+            def bk(p, fr):
+                return self.backbone(p, as_float_frames(fr))
+
+            self._chunked = ChunkedAnnotator(
+                bk, postprocess=midas_postprocess, chunk=5)
+        b, t = video_np.shape[0], video_np.shape[1]
+        frames = video_np.reshape((b * t,) + video_np.shape[2:])
+        out = self._chunked(self.backbone_params, frames)
+        out = out.reshape((b, t) + out.shape[1:])
+        # keep a ref to the input so the id() key can't be recycled
+        self._chunk_memo = (key, video_np, out)
+        return out
 
     def _run_backbone(self, frames):
         if self.backbone is None:

@@ -27,6 +27,7 @@ import numpy as np
 
 from ..modules.clip import CLIPTextModel
 from ..modules.layers import timestep_embedding
+from ..utils.misc import as_float_frames
 from .tokenizer import load_tokenizer
 
 
@@ -112,7 +113,7 @@ class CLIPTextEmbedder(Embedder):
 
 class IdentityEncoder(Embedder):
     def embed(self, params, prepared):
-        return jnp.asarray(prepared)
+        return as_float_frames(prepared)
 
 
 class CustomIdentityEncoder(Embedder):
@@ -124,7 +125,7 @@ class CustomIdentityEncoder(Embedder):
         self.downsample_factor = downsample_factor
 
     def embed(self, params, prepared):
-        x = jnp.asarray(prepared)
+        x = as_float_frames(prepared)
         f = self.downsample_factor
         if f and f > 1:
             shape = list(x.shape)
@@ -156,7 +157,7 @@ class VAEEmbedder(Embedder):
 
     def embed(self, params, prepared, rng=None):
         assert self.vae_apply is not None, "VAEEmbedder not wired to a VAE"
-        x = jnp.asarray(prepared)
+        x = as_float_frames(prepared)
         k_blur = k_post = None
         if rng is not None:
             k_blur, k_post = jax.random.split(rng)

@@ -36,6 +36,8 @@ def _load():
             except OSError:
                 continue
             lib.vd_decode_clip.restype = ctypes.c_int
+            if hasattr(lib, "vd_decode_clip_u8"):
+                lib.vd_decode_clip_u8.restype = ctypes.c_int
             lib.vd_decode_images.restype = ctypes.c_int
             lib.vd_pool_create.restype = ctypes.c_void_p
             lib.vd_pool_submit_clip.restype = ctypes.c_int
@@ -59,6 +61,22 @@ def decode_clip(path: str, indices: Sequence[int], h: int, w: int) -> np.ndarray
     rc = lib.vd_decode_clip(
         path.encode(), idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         len(idx), h, w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise IOError(f"native decode failed ({rc}) for {path}")
+    return out
+
+
+def decode_clip_u8(path: str, indices: Sequence[int], h: int, w: int) -> np.ndarray:
+    """Decode frame indices -> (T,H,W,3) uint8 RGB (no float conversion —
+    the cheap form to upload over a slow host<->device link)."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "vd_decode_clip_u8"), \
+        "native decode library not built (or stale: rerun native/build.sh)"
+    idx = np.ascontiguousarray(indices, dtype=np.int32)
+    out = np.empty((len(idx), h, w, 3), np.uint8)
+    rc = lib.vd_decode_clip_u8(
+        path.encode(), idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        len(idx), h, w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
     if rc != 0:
         raise IOError(f"native decode failed ({rc}) for {path}")
     return out

@@ -87,10 +87,19 @@ def load_video_keyframes(
     target_fps: float = 6.0,
     num_keyframes: int = 17,
     size_hw: Tuple[int, int] = (512, 768),
+    out_dtype: str = "float32",
 ) -> np.ndarray:
-    """Returns (T, H, W, 3) float32 in [-1, 1]."""
+    """Returns (T, H, W, 3).  out_dtype:
+      'float32' — [-1, 1] (the framework's math layout);
+      'uint8'   — raw RGB bytes, NO host float conversion.  Decoders emit
+        uint8 natively, so this path skips two full passes over the clip
+        (float expand + re-quantize) and uploads 4x fewer bytes; the model
+        dequantizes on device (measured: the float round-trip alone cost
+        ~1.3 s/clip on the bench host, PERF_r3 depth-stage probe).
+    """
     from . import native_decode
 
+    want_u8 = out_dtype == "uint8"
     p = str(path)
     if p.lower().endswith(VIDEO_EXTS) and native_decode.available():
         # native path: probe frame count + fps cheaply, then decode + resize
@@ -106,9 +115,12 @@ def load_video_keyframes(
         if n > 0:
             idx = select_keyframe_indices(n, fps, target_fps, num_keyframes)
             try:
+                if want_u8:
+                    return native_decode.decode_clip_u8(
+                        p, idx, size_hw[0], size_hw[1])
                 return native_decode.decode_clip(p, idx, size_hw[0], size_hw[1])
-            except IOError:
-                pass  # container lied about frame count; python fallback
+            except (IOError, AssertionError):
+                pass  # container lied about frame count / stale lib; fallback
 
     if os.path.isdir(p):
         frames = _read_frames_dir(p)
@@ -124,6 +136,8 @@ def load_video_keyframes(
 
     idx = select_keyframe_indices(len(frames), fps, target_fps, num_keyframes)
     out = np.stack([_resize_bicubic(frames[i], size_hw) for i in idx])
+    if want_u8:
+        return np.ascontiguousarray(out)  # decoders produce uint8 already
     return out.astype(np.float32) / 127.5 - 1.0
 
 

@@ -31,6 +31,7 @@ from ..diffusion.loss import StandardDiffusionLoss
 from ..diffusion.samplers import BaseSampler
 from ..modules.controlnet import CCEditNetwork
 from ..modules.vae import AutoencoderKL, DiagonalGaussian
+from ..utils.misc import as_float_frames
 from ..train.ema import EmaState
 from ..train.freeze import freeze_mask
 
@@ -180,7 +181,9 @@ class CCEditEngine:
         self, params, x, rng: Optional[jax.Array] = None
     ) -> jnp.ndarray:
         """pixels in [-1,1] -> scaled latents (diffusion.py:158-163).
-        Deterministic (posterior mode) unless rng is given."""
+        Deterministic (posterior mode) unless rng is given.  uint8 pixels
+        are accepted and dequantized on device (cheap-upload path)."""
+        x = as_float_frames(x)
         moments = self.vae.apply(
             {"params": params["vae"]}, x, method=AutoencoderKL.encode_moments
         )

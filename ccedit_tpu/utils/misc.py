@@ -37,3 +37,16 @@ def append_dims(x: jnp.ndarray, target_ndim: int) -> jnp.ndarray:
 
 def expand_dims_like(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return append_dims(x, y.ndim)
+
+
+def as_float_frames(x, dtype=None) -> jnp.ndarray:
+    """Accept uint8 pixels anywhere [-1,1] video frames are expected.
+
+    Decoders emit uint8 natively and uint8 ships 4x fewer bytes over a slow
+    host->device link (PERF_r3 §16), so the pipeline keeps clips quantized
+    until the device edge; this dequantizes there.  Float inputs pass
+    through (optionally cast)."""
+    x = jnp.asarray(x)
+    if x.dtype == jnp.uint8:
+        return x.astype(dtype or jnp.float32) / 127.5 - 1.0
+    return x if dtype is None else x.astype(dtype)

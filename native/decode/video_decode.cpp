@@ -48,8 +48,30 @@ void frame_to_float(const cv::Mat &bgr, int h, int w, float *out) {
   }
 }
 
-int decode_clip_impl(const char *path, const int *indices, int n_frames,
-                     int h, int w, float *out) {
+void frame_to_u8(const cv::Mat &bgr, int h, int w, uint8_t *out) {
+  // raw uint8 RGB (no float conversion): the cheapest form to ship to an
+  // accelerator over a slow host link (4x fewer bytes than fp32; the model
+  // dequantizes on device)
+  cv::Mat resized;
+  if (bgr.rows != h || bgr.cols != w) {
+    cv::resize(bgr, resized, cv::Size(w, h), 0, 0, cv::INTER_CUBIC);
+  } else {
+    resized = bgr;
+  }
+  cv::Mat rgb;
+  cv::cvtColor(resized, rgb, cv::COLOR_BGR2RGB);
+  if (rgb.isContinuous()) {
+    std::memcpy(out, rgb.ptr<uint8_t>(0), static_cast<size_t>(h) * w * 3);
+  } else {
+    for (int r = 0; r < h; ++r)
+      std::memcpy(out + static_cast<size_t>(r) * w * 3, rgb.ptr<uint8_t>(r),
+                  static_cast<size_t>(w) * 3);
+  }
+}
+
+template <typename T, typename ConvertFn>
+int decode_clip_impl_t(const char *path, const int *indices, int n_frames,
+                       int h, int w, T *out, ConvertFn convert) {
   cv::VideoCapture cap(path);
   if (!cap.isOpened()) return -1;
   // single sequential sweep up to the max index (seeking is codec-fragile)
@@ -66,12 +88,23 @@ int decode_clip_impl(const char *path, const int *indices, int n_frames,
     auto it = wanted.find(f);
     if (it != wanted.end()) {
       for (int slot : it->second) {
-        frame_to_float(frame, h, w, out + static_cast<size_t>(slot) * h * w * 3);
+        convert(frame, h, w, out + static_cast<size_t>(slot) * h * w * 3);
         ++filled;
       }
     }
   }
   return filled == n_frames ? 0 : -2;
+}
+
+int decode_clip_impl(const char *path, const int *indices, int n_frames,
+                     int h, int w, float *out) {
+  return decode_clip_impl_t(path, indices, n_frames, h, w, out,
+                            frame_to_float);
+}
+
+int decode_clip_u8_impl(const char *path, const int *indices, int n_frames,
+                        int h, int w, uint8_t *out) {
+  return decode_clip_impl_t(path, indices, n_frames, h, w, out, frame_to_u8);
 }
 
 int decode_images_impl(const char *const *paths, int n, int h, int w,
@@ -156,6 +189,11 @@ extern "C" {
 int vd_decode_clip(const char *path, const int *indices, int n_frames, int h,
                    int w, float *out) {
   return decode_clip_impl(path, indices, n_frames, h, w, out);
+}
+
+int vd_decode_clip_u8(const char *path, const int *indices, int n_frames,
+                      int h, int w, uint8_t *out) {
+  return decode_clip_u8_impl(path, indices, n_frames, h, w, out);
 }
 
 int vd_decode_images(const char *const *paths, int n, int h, int w,
