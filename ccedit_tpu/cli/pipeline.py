@@ -12,6 +12,7 @@ import argparse
 import json
 import os
 import time
+from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -331,6 +332,29 @@ def run_pipeline(args, reference_mode: bool = False):
     sample_jit = None
     decode_jit = None
 
+    # decoded-clip cache: BalanceCC-style job lists run several prompts over
+    # the SAME video (and every base-model pass repeats the whole job list).
+    # Reusing the decoded ndarray skips the mp4 decode AND — because the
+    # annotator hint cache is keyed on array identity — the DPT depth forward
+    # for repeat jobs.  Keyed on path+geometry+mtime; capacity-bounded.
+    clip_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+
+    def load_clip_cached(path: str) -> np.ndarray:
+        key = (path, args.original_fps, args.target_fps, args.num_keyframes,
+               args.H, args.W, os.path.getmtime(path))
+        hit = clip_cache.get(key)
+        if hit is None:
+            hit = load_video_keyframes(
+                path, args.original_fps, args.target_fps,
+                args.num_keyframes, (args.H, args.W), out_dtype="uint8",
+            )  # (T,H,W,3) uint8
+            clip_cache[key] = hit
+            while len(clip_cache) > 8:
+                clip_cache.popitem(last=False)
+        else:
+            clip_cache.move_to_end(key)
+        return hit
+
     for bm_idx, bm_path in enumerate(gather_basemodels(args)):
         print(f"-> base model {bm_idx}: {bm_path}")
         # per-base-model output subdir + ledger (sampling_tv2v.py:262-285)
@@ -349,10 +373,7 @@ def run_pipeline(args, reference_mode: bool = False):
                 # uint8 end to end until the device edge: decoders emit uint8
                 # natively and the upload ships 4x fewer bytes (PERF_r3 §16);
                 # embedders/engine dequantize on device (as_float_frames)
-                frames = load_video_keyframes(
-                    job["video"], args.original_fps, args.target_fps,
-                    args.num_keyframes, (args.H, args.W), out_dtype="uint8",
-                )  # (T,H,W,3) uint8
+                frames = load_clip_cached(job["video"])  # (T,H,W,3) uint8
             except Exception as e:  # per-job fault tolerance (:312-328)
                 print(f"[error] {job_key}: failed to load video: {e}")
                 continue

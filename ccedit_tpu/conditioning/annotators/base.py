@@ -19,6 +19,7 @@ Input/output layout: (B, T, H, W, 3) in [-1, 1] (video, channels-last).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -27,6 +28,19 @@ import numpy as np
 
 from ...utils.misc import as_float_frames
 from ..embedders import Embedder
+
+
+def _eager_context() -> bool:
+    """True only outside any JAX trace.  The chunk-pipelined host path calls
+    an inner jax.jit and memoizes its output; doing that while an OUTER
+    transform is tracing (e.g. engine.init_params jits Conditioner.embed
+    over a host numpy clip) would memoize a tracer that leaks into later
+    eager calls (UnexpectedTracerError)."""
+    try:
+        from jax._src.core import trace_state_clean  # not re-exported >=0.4.34
+        return trace_state_clean()
+    except ImportError:  # renamed across JAX versions; be conservative
+        return False
 
 
 def _luma(x):
@@ -92,7 +106,12 @@ class AnnotatorEmbedder(Embedder):
         self.allow_fake = allow_fake
         self.safe = safe  # safe_step quantization (modules.py:1433-1434)
         self._chunked = None  # lazy ChunkedAnnotator (eager-inference path)
-        self._chunk_memo = None  # (input id/shape key, input ref, output)
+        # small hint cache for the eager path: key -> (input ref, output).
+        # Holding the input ref keeps its id() from being recycled.  A few
+        # entries (not one) so BalanceCC-style job lists that interleave
+        # videos still hit across jobs.
+        self._chunk_memo: "OrderedDict" = OrderedDict()
+        self._chunk_memo_cap = 4
 
     def init_params(self, rng, prepared):
         return None  # frozen; real backbone params are loaded, not initialized
@@ -102,6 +121,7 @@ class AnnotatorEmbedder(Embedder):
             isinstance(prepared, np.ndarray)
             and self.kind == "depth_midas"
             and self.backbone is not None
+            and _eager_context()
         ):
             # eager inference with a host-resident clip: chunk-pipeline the
             # upload behind the DPT compute (PERF_r3 §16 — the whole depth
@@ -204,11 +224,14 @@ class AnnotatorEmbedder(Embedder):
         """Depth hint via the chunk-pipelined driver (chunked.py): per-chunk
         device_put + backbone dispatch, ONE clip-global MiDaS postprocess.
         Memoized on the exact input array: the sampling CLI passes the same
-        clip in batch and batch_uc, so the second conditioner pass reuses the
+        clip in batch and batch_uc (and, with the pipeline's decoded-clip
+        cache, across jobs on the same video), so repeat passes reuse the
         hint instead of re-running DPT."""
-        key = (id(video_np), video_np.shape, video_np.dtype)
-        if self._chunk_memo is not None and self._chunk_memo[0] == key:
-            return self._chunk_memo[2]
+        key = (id(video_np), video_np.shape, str(video_np.dtype))
+        hit = self._chunk_memo.get(key)
+        if hit is not None:
+            self._chunk_memo.move_to_end(key)
+            return hit[1]
         from .chunked import ChunkedAnnotator
 
         if self._chunked is None:
@@ -222,7 +245,9 @@ class AnnotatorEmbedder(Embedder):
         out = self._chunked(self.backbone_params, frames)
         out = out.reshape((b, t) + out.shape[1:])
         # keep a ref to the input so the id() key can't be recycled
-        self._chunk_memo = (key, video_np, out)
+        self._chunk_memo[key] = (video_np, out)
+        while len(self._chunk_memo) > self._chunk_memo_cap:
+            self._chunk_memo.popitem(last=False)
         return out
 
     def _run_backbone(self, frames):

@@ -131,6 +131,39 @@ class TestUint8Embedders:
         # the second pass must reuse the hint, not re-run the backbone
         assert emb.embed(None, video_u8) is out_host
 
+    def test_hint_memo_interleaved_videos(self):
+        """BalanceCC job lists interleave prompts over a few videos; the
+        hint cache must hit across jobs (array identity), not just for the
+        immediately preceding clip."""
+        import jax
+
+        from ccedit_tpu.conditioning.annotators.base import AnnotatorEmbedder
+
+        dpt = tiny_dpt()
+        rng = jax.random.PRNGKey(5)
+        params = dpt.init(rng, jnp.zeros((1, 64, 64, 3), jnp.float32))
+        calls = {"n": 0}
+
+        def backbone(p, fr):
+            calls["n"] += 1
+            return dpt.apply(p, fr)
+
+        emb = AnnotatorEmbedder("depth_midas", backbone=backbone,
+                                backbone_params=params)
+        vids = [
+            np.asarray(jax.random.randint(
+                jax.random.PRNGKey(i), (1, 4, 64, 64, 3), 0, 256, jnp.int32),
+                dtype=np.uint8)
+            for i in range(3)
+        ]
+        outs = [emb.embed(None, v) for v in vids]
+        first_calls = calls["n"]
+        assert first_calls > 0
+        # interleaved repeats: all must hit the cache
+        for i in (0, 2, 1, 0):
+            assert emb.embed(None, vids[i]) is outs[i]
+        assert calls["n"] == first_calls
+
     def test_engine_encode_accepts_uint8(self):
         import jax
 
