@@ -4,13 +4,18 @@ Parity target: scripts/sampling/sampling_image.py + scripts/demo helpers
 (do_sample / do_img2img, streamlit_helpers.py:458-642) run headlessly:
 plain 2D UNet, CFG, k-diffusion samplers, optional img2img strength
 (Img2ImgDiscretizationWrapper).
+
+The session/sampling core is factored out so the web demo (`cli/demo.py`)
+drives the exact same code path the CLI does.
 """
 
 from __future__ import annotations
 
 import argparse
 import time
+from dataclasses import dataclass
 from pathlib import Path
+from typing import Any, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,14 +25,18 @@ from PIL import Image
 from ..config import build_engine, load_config
 from ..data.video import load_image, to_uint8
 from ..diffusion import make_discretization, make_sampler
-from ..diffusion.guidance import VanillaCFG
+from ..diffusion.guidance import IdentityGuider, VanillaCFG
 from .pipeline import SAMPLER_NAMES, load_params
 
+DISCRETIZATION_NAMES = ("legacy_ddpm", "edm")
+GUIDER_NAMES = ("VanillaCFG", "IdentityGuider")
 
-def main():
-    p = argparse.ArgumentParser()
+
+def add_image_args(p: argparse.ArgumentParser,
+                   config_required: bool = True) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--config_path", type=str, required=True)
+    p.add_argument("--config_path", type=str, required=config_required,
+                   default="")
     p.add_argument("--ckpt_path", type=str, default="")
     p.add_argument("--lora_path", type=str, default="")
     p.add_argument("--lora_strength", type=float, default=0.8)
@@ -41,6 +50,10 @@ def main():
     p.add_argument("--sample_steps", type=int, default=40)
     p.add_argument("--sampler_name", type=str, default="EulerEDMSampler",
                    choices=sorted(SAMPLER_NAMES))
+    p.add_argument("--discretization", type=str, default="legacy_ddpm",
+                   choices=DISCRETIZATION_NAMES)
+    p.add_argument("--guider", type=str, default="VanillaCFG",
+                   choices=GUIDER_NAMES)
     p.add_argument("--cfg_scale", type=float, default=7.5)
     p.add_argument("--num_samples", type=int, default=1)
     p.add_argument("--save_path", type=str, default="outputs/demo/txt2img")
@@ -54,34 +67,47 @@ def main():
                    help="CLIP ViT-L visual ckpt for the DeepFloyd filter")
     p.add_argument("--safety_heads_dir", type=str, default="",
                    help="directory with p_head_v1.npz / w_head_v1.npz")
-    args = p.parse_args()
+    return p
 
+
+@dataclass
+class ImageSession:
+    """A loaded model the demo keeps warm across requests, like the
+    reference's `init_st` streamlit-cached state (streamlit_helpers.py:75)."""
+
+    engine: Any
+    params: Any
+    video_mode: bool
+
+    @property
+    def latent_factor(self) -> int:
+        return self.engine.latent_factor
+
+
+def build_image_session(args) -> ImageSession:
+    """Build engine + load params for the txt2img/img2img path.  Extra
+    conditioner inputs of video configs (control_hint/cond_img) are fed the
+    init image or black frames so any shipped config runs in 2D mode."""
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     cfg = load_config(args.config_path)
     engine = build_engine(cfg, asset_dir=args.tokenizer_assets or None,
                           dtype=dtype, guider_scale=args.cfg_scale)
-    engine.guider = VanillaCFG(scale=args.cfg_scale)
     if args.fake_annotator:
         from ..conditioning.annotators.base import AnnotatorEmbedder
 
         for spec in engine.conditioner.specs:
             if isinstance(spec.embedder, AnnotatorEmbedder):
                 spec.embedder.allow_fake = True
+    batch, _ = _make_batches(engine, args)
+    params = load_params(engine, args, batch)
+    video_mode = getattr(getattr(engine.network, "unet", None),
+                         "unet_type", "2d") != "2d"
+    return ImageSession(engine=engine, params=params, video_mode=video_mode)
 
-    strength = args.img2img_strength if args.init_image else None
-    engine.sampler = make_sampler(
-        SAMPLER_NAMES[args.sampler_name],
-        discretization=make_discretization(
-            "legacy_ddpm", **({"img2img_strength": strength} if strength else {})
-        ),
-        num_steps=args.sample_steps,
-    )
 
+def _make_batches(engine, args):
     batch = {"txt": [args.prompt]}
     batch_uc = {"txt": [args.negative_prompt]}
-    # a video-model config may carry extra conditioner inputs (control_hint,
-    # cond_img); feed the init image (or black frames) so the 2D edit runs
-    # with any config (the auto_pipeline reuses the tvi2v config by default)
     extra_src = None
     if args.init_image:
         extra_src = load_image(args.init_image, (args.H, args.W))
@@ -97,14 +123,41 @@ def main():
             img = extra_src if extra_src is not None else np.zeros(
                 (args.H, args.W, 3), np.float32) - 1.0
             batch[key] = batch_uc[key] = img[None]
-    params = load_params(engine, args, batch)
+    return batch, batch_uc
+
+
+def configure_sampler(engine, args) -> None:
+    """Install sampler/discretization/guider from the request — the demo's
+    init_sampling widget surface (streamlit_helpers.py:277-322)."""
+    strength = args.img2img_strength if args.init_image else None
+    engine.sampler = make_sampler(
+        SAMPLER_NAMES[args.sampler_name],
+        discretization=make_discretization(
+            getattr(args, "discretization", "legacy_ddpm"),
+            **({"img2img_strength": strength} if strength else {}),
+        ),
+        num_steps=args.sample_steps,
+    )
+    if getattr(args, "guider", "VanillaCFG") == "IdentityGuider":
+        engine.guider = IdentityGuider()
+    else:
+        engine.guider = VanillaCFG(scale=args.cfg_scale)
+
+
+def sample_images(session: ImageSession, args,
+                  save_dir: Optional[Path] = None) -> List[np.ndarray]:
+    """Run txt2img (or img2img when args.init_image is set) and return the
+    uint8 HWC frames; optionally also save sample_NNN.png files."""
+    engine, params = session.engine, session.params
+    configure_sampler(engine, args)
+    batch, batch_uc = _make_batches(engine, args)
     c, uc = engine.conditioner.get_unconditional_conditioning(
         params["conditioner"], batch, batch_uc
     )
 
     rng = jax.random.PRNGKey(args.seed)
-    save_dir = Path(args.save_path)
-    save_dir.mkdir(parents=True, exist_ok=True)
+    if save_dir is not None:
+        save_dir.mkdir(parents=True, exist_ok=True)
 
     # demo-parity output filters (streamlit_helpers.py:29-72 + detect path)
     sample_filter = None
@@ -125,20 +178,19 @@ def main():
 
     # a pseudo-3D (video) model samples a single-frame clip; plain 2D models
     # keep 4-D latents (the auto_pipeline reuses the tvi2v config by default)
-    video_mode = getattr(getattr(engine.network, "unet", None),
-                         "unet_type", "2d") != "2d"
-    f = engine.latent_factor
-    if video_mode:
+    f = session.latent_factor
+    if session.video_mode:
         z_shape = (1, 1, args.H // f, args.W // f, 4)
     else:
         z_shape = (1, args.H // f, args.W // f, 4)
     x_prior = None
     if args.init_image:
         img = load_image(args.init_image, (args.H, args.W))[None]
-        if video_mode:
+        if session.video_mode:
             img = img[None]
         x_prior = engine.encode_first_stage(params, jnp.asarray(img))
 
+    outputs: List[np.ndarray] = []
     for i in range(args.num_samples):
         rng, k = jax.random.split(rng)
         t0 = time.time()
@@ -152,7 +204,7 @@ def main():
         else:
             latents = engine.sample(params, c, uc, z_shape, k)
         img_out = engine.decode_first_stage(params, latents)
-        if video_mode:
+        if session.video_mode:
             img_out = img_out[:, 0]
         img01 = (jnp.clip(img_out, -1.0, 1.0) + 1.0) / 2.0
         if sample_filter is not None:
@@ -161,8 +213,18 @@ def main():
         if watermarker is not None:
             img01 = watermarker(img01)
         out = to_uint8(img01[0] * 2.0 - 1.0)
-        Image.fromarray(out).save(save_dir / f"sample_{i:03d}.png")
-        print(f"[done] sample {i}: {time.time() - t0:.1f}s -> {save_dir}/sample_{i:03d}.png")
+        outputs.append(out)
+        if save_dir is not None:
+            Image.fromarray(out).save(save_dir / f"sample_{i:03d}.png")
+            print(f"[done] sample {i}: {time.time() - t0:.1f}s "
+                  f"-> {save_dir}/sample_{i:03d}.png")
+    return outputs
+
+
+def main():
+    args = add_image_args(argparse.ArgumentParser()).parse_args()
+    session = build_image_session(args)
+    sample_images(session, args, save_dir=Path(args.save_path))
 
 
 if __name__ == "__main__":
