@@ -23,6 +23,9 @@ Modes (BENCH_MODE):
       sums to the total by construction.
   core — denoise scan + VAE decode only (the round-1/2 metric; kept for
       round-over-round comparability, also reported in e2e detail).
+  train — TV2V training-step throughput (BASELINE.md recipe: 384x512,
+      12 frames, freeze policy 'spatial', remat, adamw; per-chip bs via
+      BENCH_BS).  fp32 masters for trainable params, bf16 frozen storage.
 
 Params and conditioning enter as jit ARGUMENTS — closure capture would bake
 6.5GB of weights into the HLO as constants, which breaks the remote compile
@@ -68,7 +71,148 @@ def hard_sync(x):
     return x
 
 
+def bench_train():
+    """Training-step throughput for the TV2V recipe (BASELINE.md: bs 4,
+    384x512, 12 frames, mixed precision, freeze policy 'spatial' — temporal
+    twins + ControlNet trainable, SD-1.5 spatial weights frozen;
+    configs/example_training/sd_1_5_controlldm-test-tv2v-depthmidas.yaml).
+
+    Mixed-precision layout: TRAINABLE params are fp32 masters (adamw needs
+    them), FROZEN params are stored bf16 (never updated; compute is bf16
+    anyway) — this is what fits an SD-1.5+ControlNet train step in 16 GB of
+    v5e HBM alongside remat'd activations.  Per-chip batch defaults to 1
+    (the recipe's global bs 4 = DP over 4 chips / grad accumulation).
+    The reference publishes no training throughput -> vs_baseline 0."""
+    import numpy as np
+    import optax
+    import flax.traverse_util as trav
+
+    from ccedit_tpu.diffusion.loss import StandardDiffusionLoss
+    from ccedit_tpu.diffusion.sigma_sampling import DiscreteSampling
+    from ccedit_tpu.train.freeze import freeze_mask
+
+    bs = int(os.environ.get("BENCH_BS", 1))
+    T = int(os.environ.get("BENCH_FRAMES", 12))
+    H = int(os.environ.get("BENCH_H", 384))
+    W = int(os.environ.get("BENCH_W", 512))
+    dtype = jnp.bfloat16
+
+    sd15 = dict(
+        in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
+        attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4), num_heads=8,
+        transformer_depth=1, context_dim=768, dtype=dtype, use_remat=True,
+    )
+    unet = UNetModel(unet_type="pseudo-3d", disable_temporal_text_ca=True,
+                     **sd15)
+    cn = ControlNet2D(hint_channels=3, **sd15)
+    net = CCEditNetwork(unet=unet, controlnet=cn)
+
+    rng = jax.random.PRNGKey(0)
+    h8, w8 = H // 8, W // 8
+    z = jnp.zeros((bs, T, h8, w8, 4), jnp.float32)
+    tt = jnp.full((bs,), 500.0)
+    cond = {
+        "crossattn": jnp.zeros((bs, 77, 768), dtype=dtype),
+        "control_hint": jnp.zeros((bs, T, H, W, 3), dtype=dtype),
+    }
+
+    t0 = time.time()
+    p_shapes = jax.eval_shape(net.init, rng, z, tt, cond)
+    mask = freeze_mask(p_shapes, "spatial")
+    flat_mask = trav.flatten_dict(mask)
+
+    def materialize(shapes):
+        flat = trav.flatten_dict(shapes)
+        out = {}
+        for k, s in flat.items():
+            trainable = flat_mask[k]
+            dt = (jnp.float32 if trainable else dtype) \
+                if s.dtype == jnp.float32 else s.dtype
+            out[k] = jnp.zeros(s.shape, dt)
+        return trav.unflatten_dict(out)
+
+    params = materialize(p_shapes)
+    flat_params = trav.flatten_dict(params)
+    train_tree = trav.unflatten_dict(
+        {k: v for k, v in flat_params.items() if flat_mask[k]})
+    frozen_tree = trav.unflatten_dict(
+        {k: v for k, v in flat_params.items() if not flat_mask[k]})
+    n_train = sum(v.size for v in jax.tree_util.tree_leaves(train_tree))
+    n_total = sum(v.size for v in jax.tree_util.tree_leaves(params))
+    init_s = time.time() - t0
+    log(f"# train params {n_train/1e6:.0f}M trainable / {n_total/1e9:.2f}B "
+        f"total, materialized in {init_s:.1f}s")
+
+    den = DiscreteDenoiser(scaling="eps", weighting="eps")
+    loss_obj = StandardDiffusionLoss(DiscreteSampling(), loss_type="l2")
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(train_tree)
+
+    def merge(trainable, frozen):
+        flat = dict(trav.flatten_dict(frozen))
+        flat.update(trav.flatten_dict(trainable))
+        return trav.unflatten_dict(flat)
+
+    def train_step(trainable, frozen, opt_state, batch, key):
+        def loss_fn(tr):
+            p = merge(tr, frozen)
+
+            def network(xx, ss, cc):
+                return net.apply(p, xx.astype(dtype), ss, cc).astype(jnp.float32)
+
+            losses = loss_obj(key, network, den, batch["cond"], batch["z"])
+            return losses.mean()
+
+        loss_val, grads = jax.value_and_grad(loss_fn)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss_val
+
+    step = jax.jit(train_step, donate_argnums=(0, 2))
+    batch = {"z": z, "cond": cond}
+
+    t0 = time.time()
+    train_tree, opt_state, lv = step(
+        train_tree, frozen_tree, opt_state, batch, jax.random.PRNGKey(1))
+    hard_sync(lv)
+    compile_s = time.time() - t0
+    log(f"# train compile+first step {compile_s:.1f}s (loss={float(lv):.3f})")
+
+    n_steps = int(os.environ.get("BENCH_TRAIN_STEPS", 5))
+    times = []
+    for i in range(n_steps):
+        t0 = time.time()
+        train_tree, opt_state, lv = step(
+            train_tree, frozen_tree, opt_state, batch, jax.random.PRNGKey(2 + i))
+        hard_sync(lv)
+        times.append(time.time() - t0)
+        log(f"# train step {i}: {times[-1]:.2f}s")
+    step_s = min(times)
+
+    print(json.dumps({
+        "metric": "train_step_latency",
+        "value": round(step_s, 3),
+        "unit": "s",
+        "vs_baseline": 0.0,
+        "detail": {
+            "workload": f"tv2v train bs{bs} {T}f {H}x{W} freeze=spatial "
+                        "remat adamw (reference recipe "
+                        "sd_1_5_controlldm-test-tv2v-depthmidas.yaml; no "
+                        "published reference throughput)",
+            "device": str(jax.devices()[0]),
+            "params_total": n_total,
+            "params_trainable": n_train,
+            "frames_per_s_per_chip": round(bs * T / step_s, 3),
+            "compile_s": round(compile_s, 1),
+            "all_steps_s": [round(t, 3) for t in times],
+        },
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "train":
+        bench_train()
+        return
     # tv2v: README.md:56-57 (30 steps, cfg 7.5).  tvi2v: README.md:63-77
     # (50 steps, cfg 7, reference-guided: CFCA center_self attention +
     # appearance ControlNet branch on the anchor-frame latent).

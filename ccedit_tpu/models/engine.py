@@ -22,6 +22,7 @@ from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import flax.traverse_util
 import optax
 
 from ..conditioning.conditioner import Conditioner
@@ -344,12 +345,31 @@ class CCEditEngine:
             labels,
         )
 
+    # EMA shadows only the TRAINABLE network subtree: frozen params never
+    # change, and the EMA of a constant is the constant — shadowing them
+    # (the reference's LitEma copies every buffer, sgm/modules/ema.py:15-29)
+    # wastes ~60% of the shadow's HBM at the CCEdit freeze policies on a
+    # 16 GB chip.  merge_ema() reconstitutes the full-tree shadow exactly.
+    def ema_subset(self, net_params):
+        flat = flax.traverse_util.flatten_dict(net_params)
+        mask = flax.traverse_util.flatten_dict(
+            freeze_mask(net_params, self.freeze_policy))
+        return flax.traverse_util.unflatten_dict(
+            {k: v for k, v in flat.items() if mask[k]})
+
+    def merge_ema(self, net_params, shadow):
+        """Full network params with EMA values on the trainable leaves."""
+        flat = dict(flax.traverse_util.flatten_dict(net_params))
+        flat.update(flax.traverse_util.flatten_dict(shadow))
+        return flax.traverse_util.unflatten_dict(flat)
+
     def create_train_state(self, params, tx) -> TrainState:
         state = TrainState(
             params=params,
             opt_state=tx.init(params),
             step=jnp.asarray(0, dtype=jnp.int32),
-            ema=EmaState.create(params["network"], self.ema_decay) if self.use_ema else None,
+            ema=EmaState.create(self.ema_subset(params["network"]),
+                                self.ema_decay) if self.use_ema else None,
         )
         return state
 
@@ -372,7 +392,8 @@ class CCEditEngine:
             loss_val, grads = jax.value_and_grad(loss_fn)(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
-            ema = state.ema.update(params["network"]) if state.ema is not None else None
+            ema = (state.ema.update(self.ema_subset(params["network"]))
+                   if state.ema is not None else None)
             return (
                 TrainState(params, opt_state, state.step + 1, ema),
                 {"loss": loss_val},

@@ -159,16 +159,66 @@ def _kv_resident_ok(q, k) -> bool:
     return sa.supported(n_q, n_k, d)
 
 
+# The custom pallas kernels are forward-only; training differentiates
+# through dot_product_attention, so each gets a custom VJP whose backward
+# recomputes the mathematically identical attention and differentiates THAT
+# (one extra forward in the bwd pass — the standard save-inputs/recompute
+# flash-attention trade, without hand-writing bwd kernels).  At flash-
+# eligible shapes the recompute routes through the stock pallas
+# flash_attention, whose own fwd/bwd kernels never materialize the (N x N)
+# score matrix — differentiating the plain-einsum attention at the 3072+
+# token spatial shapes allocates a 3.4 GB fp32 score temp and OOMs a 16 GB
+# chip.  Tiny (temporal) shapes use the einsum path, where the score temp
+# is a few MB.
+def _xla_attention_bwd(scale, res, g):
+    q, k, v = res
+    if _flash_ok(q, k):
+        # default BlockSizes: the tuned fwd-only blocks from _flash_blocks
+        # lack the bwd block specs the kernel's VJP requires; the defaults
+        # carry both and every _flash_ok shape is %128
+        fa = _flash_fn()
+        ref = lambda qq, kk, vv: fa.flash_attention(
+            qq, kk, vv, causal=False, sm_scale=scale)
+    else:
+        ref = lambda qq, kk, vv: _xla_attention(qq, kk, vv, scale)
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _kv_resident_diff(q, k, v, scale, quantized):
+    from .spatial_attention import kv_resident_attention
+
+    return kv_resident_attention(q, k, v, scale, quantized_qk=quantized)
+
+
+_kv_resident_diff.defvjp(
+    lambda q, k, v, scale, quantized:
+        (_kv_resident_diff(q, k, v, scale, quantized), (q, k, v)),
+    lambda scale, quantized, res, g: _xla_attention_bwd(scale, res, g),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _small_seq_diff(q, k, v, scale):
+    from .temporal_attention import small_seq_attention
+
+    return small_seq_attention(q, k, v, scale)
+
+
+_small_seq_diff.defvjp(
+    lambda q, k, v, scale: (_small_seq_diff(q, k, v, scale), (q, k, v)),
+    _xla_attention_bwd,
+)
+
+
 def _attention_kernel(q, k, v, scale, force_xla):
     # NOTE (r3): a small-KV pallas kernel for the 77-token text cross-attn
     # (scores VMEM-resident) was built, measured 4.7-6.2 ms vs XLA's true
     # 2.3 ms at (34,8,6144,40)x77, and removed — the ~30 us/grid-step pallas
     # floor dominates an op this thin.  See docs/PERF_r3.md §6.
     if not force_xla and _kv_resident_ok(q, k):
-        from .spatial_attention import kv_resident_attention
-
-        return kv_resident_attention(
-            q, k, v, scale, quantized_qk=quantized_qk_enabled())
+        return _kv_resident_diff(q, k, v, scale, quantized_qk_enabled())
     if not force_xla and _flash_ok(q, k):
         fa = _flash_fn()
         return fa.flash_attention(
@@ -176,9 +226,7 @@ def _attention_kernel(q, k, v, scale, force_xla):
             block_sizes=_flash_blocks(q.shape[-2], k.shape[-2], q.shape[-1]),
         )
     if not force_xla and _small_seq_ok(q, k):
-        from .temporal_attention import small_seq_attention
-
-        return small_seq_attention(q, k, v, scale)
+        return _small_seq_diff(q, k, v, scale)
     return _xla_attention(q, k, v, scale)
 
 

@@ -163,7 +163,9 @@ class Trainer:
         eng = self.engine
         use_params = dict(params)
         if ema_shadow is not None:
-            use_params["network"] = ema_shadow
+            # the shadow covers only the trainable subtree (EMA of frozen
+            # params is the params themselves) — reconstitute the full tree
+            use_params["network"] = eng.merge_ema(params["network"], ema_shadow)
         prepared = eng.conditioner.prepare(batch)
         # first sample only (the reference logs a small grid; we log one clip)
         prepared = {

@@ -285,6 +285,43 @@ class TestFreezeMask:
 
 
 class TestEma:
+    def test_trainable_only_shadow_matches_full_ema(self, engine_and_params):
+        """EMA shadows only the trainable subtree (frozen params are
+        constant, so their EMA is themselves); merge_ema must reconstitute
+        exactly what a full-tree EMA would produce."""
+        import flax.traverse_util as trav
+
+        from ccedit_tpu.train.ema import EmaState
+        from ccedit_tpu.train.freeze import freeze_mask
+
+        engine, params = engine_and_params
+        engine.freeze_policy = "spatial"
+        engine.use_ema = True
+        net0 = params["network"]
+        sub = engine.ema_subset(net0)
+        n_sub = sum(v.size for v in jax.tree_util.tree_leaves(sub))
+        n_all = sum(v.size for v in jax.tree_util.tree_leaves(net0))
+        assert 0 < n_sub < n_all  # the policy actually freezes something
+
+        # simulate one step that perturbs ONLY trainable leaves (what a
+        # masked optimizer does), then compare against a full-tree oracle
+        mask = trav.flatten_dict(freeze_mask(net0, "spatial"))
+        net1 = trav.unflatten_dict({
+            k: v + 1.0 if mask[k] else v
+            for k, v in trav.flatten_dict(net0).items()
+        })
+
+        ema_sub = EmaState.create(engine.ema_subset(net0))
+        ema_sub = ema_sub.update(engine.ema_subset(net1))
+        merged = engine.merge_ema(net1, ema_sub.shadow)
+
+        ema_full = EmaState.create(net0).update(net1)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6),
+            merged, ema_full.shadow)
+        engine.use_ema = False
+
     def test_ema_warmup_decay(self):
         from ccedit_tpu.train.ema import EmaState
 

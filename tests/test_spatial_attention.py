@@ -91,3 +91,55 @@ def test_bf16_inputs_roundtrip_dtype():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=2e-2, rtol=2e-2)
+
+
+class TestTrainingGrads:
+    """The custom kernels are forward-only pallas programs; training
+    differentiates through dot_product_attention, so the dispatch wraps them
+    in a custom VJP whose backward recomputes the XLA attention gradient.
+    Wiring check: grads through the kernel dispatch == grads through the
+    plain XLA path (interpret mode stands in for the TPU kernels)."""
+
+    def test_grad_through_kernel_dispatch_matches_xla(self, monkeypatch):
+        import functools
+
+        from ccedit_tpu.ops import attention as att
+        from ccedit_tpu.ops import spatial_attention as sa
+
+        monkeypatch.setattr(att, "_is_tpu", lambda: True)
+        monkeypatch.setattr(
+            sa, "kv_resident_attention",
+            functools.partial(kv_resident_attention, interpret=True))
+        # keep the stock flash kernel out of the interpret run: route all
+        # non-custom shapes to XLA
+        monkeypatch.setattr(att, "_flash_ok", lambda q, k: False)
+
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = _rand(k1, (1, 2, 512, 40))
+        k = _rand(k2, (1, 2, 512, 40))
+        v = _rand(k3, (1, 2, 512, 40))
+        assert att._kv_resident_ok(q, k)
+
+        def loss_kern(q, k, v):
+            return jnp.sum(att.dot_product_attention(q, k, v) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(att.dot_product_attention(q, k, v, force_xla=True) ** 2)
+
+        gk = jax.grad(loss_kern, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gk, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=2e-3)
+
+        # temporal path (small T, huge folded batch): the small-seq kernel
+        # auto-interprets off-TPU, so only the dispatch gate needs the patch
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(9), 3)
+        qt = _rand(k1, (64, 2, 12, 40))
+        kt = _rand(k2, (64, 2, 12, 40))
+        vt = _rand(k3, (64, 2, 12, 40))
+        gk = jax.grad(loss_kern, argnums=(0, 1, 2))(qt, kt, vt)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(qt, kt, vt)
+        for a, b in zip(gk, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=2e-3)
