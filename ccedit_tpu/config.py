@@ -266,7 +266,12 @@ def build_network(cfg: Dict, dtype=jnp.float32) -> CCEditNetwork:
 
 # ---- first stage ----------------------------------------------------------
 
-def build_vae(cfg: Dict, dtype=jnp.float32) -> AutoencoderKL:
+def build_vae(cfg: Dict, dtype=jnp.float32) -> Optional[AutoencoderKL]:
+    # pixel-space training (the toy configs): IdentityFirstStage means NO
+    # autoencoder — the engine diffuses pixels directly
+    # (sgm/models/autoencoder.py:596-615; toy/mnist.yaml:45-46)
+    if "IdentityFirstStage" in _tname(cfg):
+        return None
     p = _params(cfg)
     dd = p.get("ddconfig", {})
     return AutoencoderKL(

@@ -183,8 +183,12 @@ class CCEditEngine:
     ) -> jnp.ndarray:
         """pixels in [-1,1] -> scaled latents (diffusion.py:158-163).
         Deterministic (posterior mode) unless rng is given.  uint8 pixels
-        are accepted and dequantized on device (cheap-upload path)."""
+        are accepted and dequantized on device (cheap-upload path).
+        With no VAE (IdentityFirstStage, autoencoder.py:596-615) this is
+        the identity — the toy configs diffuse pixels directly."""
         x = as_float_frames(x)
+        if self.vae is None:
+            return x
         moments = self.vae.apply(
             {"params": params["vae"]}, x, method=AutoencoderKL.encode_moments
         )
@@ -193,6 +197,8 @@ class CCEditEngine:
         return z * self.scale_factor
 
     def decode_first_stage(self, params, z) -> jnp.ndarray:
+        if self.vae is None:
+            return z
         return self.vae.apply(
             {"params": params["vae"]}, z / self.scale_factor,
             method=AutoencoderKL.decode,
