@@ -38,6 +38,26 @@ def scale_learning_rate(base_lr: float, accumulate: int, n_devices: int,
     return min(accumulate * n_devices * batch_size * base_lr, cap)
 
 
+def donation_safe() -> bool:
+    """Whether to donate the train state into the jitted step.
+
+    Donation halves peak param memory and is always on for real backends.
+    The experimental 'axon' tunnel backend deterministically corrupts a
+    donated TrainState (INVALID_ARGUMENT at the first post-step fetch) when
+    the step executable interacts with the persistent compilation cache or
+    with committed (device_put) inputs — measured 2026-08-18; bench.py's
+    plain-tuple donation works, the structured-state path does not.  Override
+    with CCEDIT_DONATE=1/0."""
+    import os
+
+    env = os.environ.get("CCEDIT_DONATE")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    # the tunnel identifies as platform 'tpu'; only platform_version says axon
+    version = getattr(jax.devices()[0].client, "platform_version", "")
+    return "axon" not in version
+
+
 def assert_exact_arithmetic() -> None:
     """Refuse to train with the int8 W8A8 inference path enabled: jnp.round
     has zero gradient a.e., so gradients through quantized convs/matmuls are
@@ -230,6 +250,7 @@ class Trainer:
         bshard = lambda nd: NamedSharding(self.plan.mesh, P("data", *([None] * (nd - 1))))
 
         raw_step = self.engine.make_train_step(tx)
+        donate = (0,) if donation_safe() else ()
 
         if cfg.zero_sharding and self.plan.n_data > 1:
             # ZeRO-1: optimizer state sharded over the data axis, params
@@ -244,12 +265,17 @@ class Trainer:
                 step=repl,
                 ema=jax.tree_util.tree_map(lambda _: repl, state.ema),
             )
-            step_fn = jax.jit(raw_step, donate_argnums=(0,),
+            step_fn = jax.jit(raw_step, donate_argnums=donate,
                               out_shardings=(state_shardings, None))
             state = jax.device_put(state, state_shardings)
         else:
-            step_fn = jax.jit(raw_step, donate_argnums=(0,))
-            state = jax.device_put(state, repl)
+            step_fn = jax.jit(raw_step, donate_argnums=donate)
+            if self.plan.mesh.size > 1:
+                state = jax.device_put(state, repl)
+            # on a single-device mesh the NamedSharding commit is a semantic
+            # no-op but the axon TPU backend rejects donating a committed
+            # array (InvalidArgument at first fetch) — leave the state on the
+            # default device and let jit donate it directly
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
         # SIGUSR1 -> checkpoint at the next step boundary (the reference's
@@ -283,7 +309,9 @@ class Trainer:
                         break
                     prepared = self.engine.conditioner.prepare(batch)
                     device_batch = {
-                        k: jax.device_put(np.asarray(v), bshard(np.asarray(v).ndim))
+                        k: (jax.device_put(np.asarray(v), bshard(np.asarray(v).ndim))
+                            if self.plan.mesh.size > 1
+                            else jax.device_put(np.asarray(v)))
                         for k, v in prepared.items()
                         if not isinstance(v, list)
                     }
