@@ -101,6 +101,7 @@ def bench_train():
         in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
         attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4), num_heads=8,
         transformer_depth=1, context_dim=768, dtype=dtype, use_remat=True,
+        remat_policy=os.environ.get("BENCH_REMAT_POLICY") or None,
     )
     unet = UNetModel(unet_type="pseudo-3d", disable_temporal_text_ca=True,
                      **sd15)

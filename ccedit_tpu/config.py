@@ -206,6 +206,9 @@ _UNET_KEY_MAP = {
     "use_learnable_alpha": "use_learnable_alpha",
     "adm_in_channels": "adm_in_channels",
     "use_checkpoint": "use_remat",
+    # TPU-only extension (no reference analog): jax.checkpoint_policies name
+    # selecting WHAT the remat'd blocks save for the backward pass
+    "remat_policy": "remat_policy",
 }
 
 

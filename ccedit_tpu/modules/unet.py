@@ -76,7 +76,19 @@ class UNetModel(nn.Module):
     use_remat: bool = False  # activation rematerialization (the reference's
     # use_checkpoint flag, diffusionmodules/util.py:46-241) — trades FLOPs for
     # HBM in training; applied per res/attn block
+    remat_policy: Optional[str] = None  # jax.checkpoint_policies name, e.g.
+    # "dots_with_no_batch_dims_saveable": save dense-layer outputs in fwd so
+    # bwd skips their recompute (costs HBM; None = recompute everything)
     dtype: Dtype = jnp.float32
+
+    def _remat(self, cls):
+        if self.remat_policy:
+            import jax
+
+            return nn.remat(
+                cls, policy=getattr(jax.checkpoint_policies, self.remat_policy)
+            )
+        return nn.remat(cls)
 
     @property
     def is_video(self) -> bool:
@@ -103,7 +115,7 @@ class UNetModel(nn.Module):
     def _make_res(self, ch, out_ch, name, up=False, down=False):
         cls = ResBlock3D if self.is_video else ResBlock
         if self.use_remat:
-            cls = nn.remat(cls)
+            cls = self._remat(cls)
         kw = {}
         if self.is_video:
             kw["use_learnable_alpha"] = self.use_learnable_alpha
@@ -128,7 +140,7 @@ class UNetModel(nn.Module):
                 else SpatialTransformer3D
             )
             if self.use_remat:
-                cls = nn.remat(cls)
+                cls = self._remat(cls)
             kw = dict(
                 disable_temporal_text_ca=self.disable_temporal_text_ca,
                 use_learnable_alpha=self.use_learnable_alpha,
@@ -147,7 +159,7 @@ class UNetModel(nn.Module):
 
             cls2d = SpatialTransformerCA
         if self.use_remat:
-            cls2d = nn.remat(cls2d)
+            cls2d = self._remat(cls2d)
         return cls2d(
             in_channels=ch, n_heads=n_heads, d_head=d_head, depth=depth,
             context_dim=self.context_dim,

@@ -109,12 +109,17 @@ def main():
           x, p_ti, cond_ti)
 
     # ---- appearance CN alone (what TVI2V adds as a module) ----
+    # NOTE: with no_add_x the noisy center frame x is DISCARDED (block 0 is
+    # replaced by the guided hint, controlmodel.py:293-302) — the branch
+    # depends only on (params, cond_feat, timestep).  Feed the loop carry in
+    # through cond_feat (same shape as x) or XLA hoists the whole trunk out
+    # of the timing loop and the row measures ~0.
     xc = jnp.zeros((2, h8, w8, 4), jnp.float32)
     p_img = {"params": p_ti["params"]["controlnet_img"]}
     bench("appearance CN2D alone (B=2 center frame)",
           lambda c, p: jax.tree_util.tree_reduce(
               lambda a, b: a + b.astype(jnp.float32).ravel()[0],
-              cn_img.apply(p, c, cond_ti["cond_feat"], tt, context=None,
+              cn_img.apply(p, xc, c, tt, context=None,
                            return_attn_bank=True)[0],
               jnp.float32(0.0)) + c.ravel()[0],
           xc, p_img)

@@ -228,6 +228,52 @@ class TestRemat:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(bool(jnp.isfinite(l).all()) for l in leaves)
 
+    def test_remat_policy_same_math(self, rng):
+        """remat_policy (TPU-only knob: jax.checkpoint_policies name) selects
+        WHAT the remat'd blocks save — it must not change outputs or
+        gradients, only the fwd/bwd memory-recompute trade."""
+        unet_a = UNetModel(unet_type="pseudo-3d", use_remat=True, **TINY)
+        unet_b = UNetModel(
+            unet_type="pseudo-3d", use_remat=True,
+            remat_policy="dots_with_no_batch_dims_saveable", **TINY)
+        x = jax.random.normal(rng, (1, 2, 8, 8, 4))
+        t = jnp.array([100.0])
+        ctx = jnp.ones((1, 7, 16))
+        pa = unet_a.init(jax.random.PRNGKey(0), x, t, ctx)
+        pb = unet_b.init(jax.random.PRNGKey(0), x, t, ctx)
+        assert jax.tree_util.tree_structure(pa) == jax.tree_util.tree_structure(pb)
+        np.testing.assert_allclose(
+            np.asarray(unet_a.apply(pa, x, t, ctx)),
+            np.asarray(unet_b.apply(pb, x, t, ctx)), atol=1e-5)
+
+        def loss(params, net):
+            return jnp.sum(net.apply(params, x, t, ctx) ** 2)
+
+        ga = jax.grad(loss)(pa, unet_a)
+        gb = jax.grad(loss)(pb, unet_b)
+        for la, lb in zip(jax.tree_util.tree_leaves(ga),
+                          jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_remat_policy_via_config(self):
+        """use_checkpoint + remat_policy plumb through the YAML key map for
+        both the UNet and the ControlNet branch."""
+        from ccedit_tpu.config import build_network
+
+        tiny = {k: list(v) if isinstance(v, tuple) else v
+                for k, v in TINY.items()}
+        cfg = {"target": "UNetModel3D", "params": {
+            **tiny, "use_checkpoint": True,
+            "remat_policy": "dots_with_no_batch_dims_saveable",
+            "controlnet_config": {"target": "ControlNet2D", "params": {
+                **tiny, "hint_channels": 3, "use_checkpoint": True,
+                "remat_policy": "dots_with_no_batch_dims_saveable"}}}}
+        net = build_network(cfg)
+        assert net.unet.use_remat
+        assert net.unet.remat_policy == "dots_with_no_batch_dims_saveable"
+        assert net.controlnet.remat_policy == "dots_with_no_batch_dims_saveable"
+
 
 class TestControlNet3DDisableTemporal:
     def test_center_frame_taps(self, rng):
