@@ -146,6 +146,54 @@ def test_quantized_transformer_block_close_to_exact(rng):
     assert cosine(exact, qout) > 0.99
 
 
+def test_quantized_full_network_close_to_exact(rng):
+    """End-to-end int8 dispatch through the whole CCEditNetwork (UNet +
+    ControlNet hint pyramid + temporal convs + every dense/conv call site)
+    at tiny geometry: enabling CCEDIT_INT8 must keep the denoiser output
+    directionally intact, and flipping the flag back must restore the exact
+    path bit-for-bit."""
+    from ccedit_tpu.modules.controlnet import CCEditNetwork, ControlNet2D
+    from ccedit_tpu.modules.unet import UNetModel
+
+    tiny = dict(in_channels=4, model_channels=32, out_channels=4,
+                num_res_blocks=1, attention_resolutions=(2, 1),
+                channel_mult=(1, 2), num_heads=2, transformer_depth=1,
+                context_dim=16)
+    net = CCEditNetwork(
+        unet=UNetModel(unet_type="pseudo-3d", disable_temporal_text_ca=True,
+                       **tiny),
+        controlnet=ControlNet2D(hint_channels=3, **tiny),
+    )
+    k1, k2, k3 = jax.random.split(rng, 3)
+    x = jax.random.normal(k1, (1, 3, 8, 8, 4), jnp.float32)
+    tt = jnp.full((1,), 500.0)
+    cond = {
+        "crossattn": jax.random.normal(k2, (1, 7, 16), jnp.float32),
+        "control_hint": jax.random.normal(k3, (1, 3, 64, 64, 3), jnp.float32),
+    }
+    params = net.init(rng, x, tt, cond)
+    # break the zero-init output layers (the network output at init is
+    # exactly 0 by the zero-init invariant, which makes cosine meaningless)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        l + 0.03 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)
+    ])
+    exact = net.apply(params, x, tt, cond)
+    assert float(jnp.abs(exact).max()) > 0
+    try:
+        quant.set_quantized_matmul(True)
+        qout = net.apply(params, x, tt, cond)
+    finally:
+        quant.set_quantized_matmul(False)
+    assert qout.shape == exact.shape
+    assert np.all(np.isfinite(np.asarray(qout)))
+    assert cosine(exact, qout) > 0.99
+    np.testing.assert_array_equal(
+        np.asarray(net.apply(params, x, tt, cond)), np.asarray(exact))
+
+
 def test_trainer_refuses_quantized_mode(tmp_path):
     """round() has zero gradient a.e. — training silently breaks, so the
     trainer must refuse to build a train step with quantization on."""
