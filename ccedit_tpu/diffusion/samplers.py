@@ -158,10 +158,19 @@ class BaseSampler:
         x: Array,
         rng: jax.Array,
         num_steps: Optional[int] = None,
+        noise_override: Optional[Array] = None,
     ) -> Array:
+        """``noise_override``: optional externally supplied per-step noise of
+        shape ``(num_steps, *x.shape)`` consumed instead of ``jax.random``
+        draws inside the loop (ancestral sigma_up noise).  This is the parity
+        harness committed to in SURVEY §7.1: inject the reference's torch
+        noise stream here (plus the init noise via the caller) to compare the
+        full sampling chain bit-for-bit.  Samplers that draw no loop noise
+        reject a non-None override."""
         sigmas = self.get_sigmas(num_steps)
         x = self.prepare_x(x, sigmas)
-        return self._run(denoise_fn, x, rng, sigmas, start_step=0, pre_fn=None)
+        return self._run(denoise_fn, x, rng, sigmas, start_step=0, pre_fn=None,
+                         noise_override=noise_override)
 
     def sdedit(
         self,
@@ -195,8 +204,16 @@ class BaseSampler:
         return self._run(denoise_fn, x, rng, sigmas, start_step=0, pre_fn=pre)
 
     # ---- to implement ---------------------------------------------------
-    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn) -> Array:
+    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn,
+             noise_override=None) -> Array:
         raise NotImplementedError
+
+    @staticmethod
+    def _reject_noise_override(noise_override):
+        if noise_override is not None:
+            raise NotImplementedError(
+                "noise_override is only supported by the ancestral samplers "
+                "(the only ones that draw loop noise on CCEdit's paths)")
 
 
 def _scan_steps(body, x, rng, step_consts, pre_fn, sigma_for_pre):
@@ -245,7 +262,9 @@ class EulerEDMSampler(BaseSampler):
                 gammas[i] = min(self.s_churn / (num_sigmas - 1), 2**0.5 - 1)
         return gammas
 
-    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn):
+    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn,
+             noise_override=None):
+        self._reject_noise_override(noise_override)
         gammas = self._gammas(sigmas)
         idx = np.arange(start_step, len(sigmas) - 1)
         sig, nxt, gam = sigmas[idx], sigmas[idx + 1], gammas[idx]
@@ -349,15 +368,42 @@ class AncestralSampler(BaseSampler):
         down, up = get_ancestral_step(sig, nxt, eta=self.eta)
         return sig, nxt, down, up
 
-    def _ancestral_noise(self, x, rng_i, next_sigma, sigma_up):
-        noise = jax.random.normal(rng_i, x.shape, dtype=x.dtype)
+    def _ancestral_noise(self, x, rng_i, next_sigma, sigma_up, noise=None):
+        if noise is None:
+            noise = jax.random.normal(rng_i, x.shape, dtype=x.dtype)
         return jnp.where(next_sigma > 0.0, x + noise * (self.s_noise * sigma_up), x)
+
+    def _check_noise_override(self, noise_override, n_steps, x):
+        noise = jnp.asarray(noise_override, dtype=x.dtype)
+        if noise.shape != (n_steps,) + tuple(x.shape):
+            raise ValueError(
+                f"noise_override shape {noise.shape} != "
+                f"{(n_steps,) + tuple(x.shape)} (one row per sampler step)")
+        return noise
 
 
 @dataclasses.dataclass
 class EulerAncestralSampler(AncestralSampler):
-    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn):
+    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn,
+             noise_override=None):
         sig, nxt, down, up = self._ancestral_tables(sigmas, start_step)
+
+        if noise_override is not None:
+            assert pre_fn is None, "noise injection + pre-step hooks unsupported"
+            noise_rows = self._check_noise_override(noise_override, len(sig), x)
+            consts = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dtype=jnp.float32), (sig, nxt, down, up))
+
+            def inj_body(x, per):
+                (sigma, next_sigma, sigma_down, sigma_up), noise_i = per
+                denoised = denoise_fn(x, sigma)
+                d = _to_d(x, sigma, denoised)
+                x = x + (sigma_down - sigma) * d
+                return self._ancestral_noise(x, None, next_sigma, sigma_up,
+                                             noise=noise_i), None
+
+            x, _ = jax.lax.scan(inj_body, x, (consts, noise_rows))
+            return x
 
         def body(x, consts, rng_i):
             sigma, next_sigma, sigma_down, sigma_up = consts
@@ -406,7 +452,8 @@ class DPMPP2SAncestralSampler(AncestralSampler):
     _exec_cache: dict = dataclasses.field(
         default_factory=dict, init=False, repr=False)
 
-    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn):
+    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn,
+             noise_override=None):
         sig, nxt, down, up = self._ancestral_tables(sigmas, start_step)
         n = len(sig)
         if n == 0:
@@ -472,6 +519,48 @@ class DPMPP2SAncestralSampler(AncestralSampler):
             call_fn, call_ctx = denoise_fn
         else:
             call_fn, call_ctx = (lambda _ctx, xx, s: denoise_fn(xx, s)), None
+
+        if noise_override is not None:
+            # Parity-harness path: external per-step noise, no exec cache /
+            # segmenting (test-scale geometry; re-tracing is acceptable).
+            # Each step's noise lands on its step-completing row (phase 1 or
+            # 2); midpoint-query rows (phase 0) draw no ancestral noise —
+            # matching the reference's one noise_sampler call per
+            # sampler_step (sampling.py:403-406).
+            assert pre_fn is None, "noise injection + pre-step hooks unsupported"
+            noise_steps = self._check_noise_override(noise_override, n, x)
+            row_of_step = []
+            r = 0
+            for i in range(n):
+                if use_mid[i]:
+                    r += 1  # skip the phase-0 midpoint-query row
+                row_of_step.append(r)
+                r += 1
+            noise_rows = jnp.zeros((len(rows),) + tuple(x.shape), dtype=x.dtype)
+            noise_rows = noise_rows.at[jnp.asarray(row_of_step)].set(noise_steps)
+
+            def inj_body(carry, per):
+                x_base, x_query = carry
+                ((q, p0, p1, p2, sigma, next_sigma, sigma_down, sigma_up,
+                  m1, m2, m3, m4, do_pre), noise_i) = per
+                denoised = call_fn(call_ctx, x_query, q)
+                x_q_p0 = m1 * x_base - m2 * denoised
+                x_p1 = m3 * x_base - m4 * denoised
+                x_p1 = self._ancestral_noise(x_p1, None, next_sigma, sigma_up,
+                                             noise=noise_i)
+                d = (x_query - denoised) / sigma
+                x_p2 = x_query + (sigma_down - sigma) * d
+                x_p2 = self._ancestral_noise(x_p2, None, next_sigma, sigma_up,
+                                             noise=noise_i)
+                p_id = 1.0 - p0 - p1 - p2
+                new_base = p0 * x_base + p1 * x_p1 + p2 * x_p2 + p_id * x_base
+                new_query = p0 * x_q_p0 + p1 * x_p1 + p2 * x_p2 + p_id * x_query
+                return (new_base, new_query), None
+
+            consts_dev = jax.tree_util.tree_map(jnp.asarray, consts_np)
+            (x_base, x_query), _ = jax.lax.scan(
+                inj_body, (x, x), (consts_dev, noise_rows))
+            return x_query
 
         def make_body(call):
             def scan_body(carry, per):
@@ -548,7 +637,11 @@ class DPMPP2SAncestralSampler(AncestralSampler):
 
 @dataclasses.dataclass
 class DPMPP2MSampler(BaseSampler):
-    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn):
+    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn,
+             noise_override=None):
+        # DPM++ 2M draws no loop noise at all (sampling.py:410-485) — the
+        # init noise is the only stochastic input, injected by the caller.
+        self._reject_noise_override(noise_override)
         idx = np.arange(start_step, len(sigmas) - 1)
         sig, nxt = sigmas[idx], sigmas[idx + 1]
         prev = np.concatenate([[np.nan], sig[:-1]])
@@ -606,7 +699,9 @@ class DPMPP2MSampler(BaseSampler):
 class LinearMultistepSampler(BaseSampler):
     order: int = 4
 
-    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn):
+    def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn,
+             noise_override=None):
+        self._reject_noise_override(noise_override)
         idx = np.arange(start_step, len(sigmas) - 1)
         sig = sigmas[idx]
         n = len(sig)

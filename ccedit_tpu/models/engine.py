@@ -289,6 +289,8 @@ class CCEditEngine:
         sdedit_steps: int = 0,
         inpaint_x0: Optional[jnp.ndarray] = None,
         inpaint_mask: Optional[jnp.ndarray] = None,
+        init_noise: Optional[jnp.ndarray] = None,
+        loop_noise: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Draw latents.
 
@@ -303,9 +305,18 @@ class CCEditEngine:
           x_prior must already be noised.
         * inpaint_x0/inpaint_mask: per-step mask-blend of the noised clean
           latent (sampling.py:138-165); mask 1 = generate, 0 = keep x0.
+        * init_noise / loop_noise: externally supplied noise tensors (the
+          SURVEY §7.1 parity harness): init_noise replaces the start-of-chain
+          gaussian; loop_noise (num_steps, *shape) replaces the per-step
+          ancestral draws.  Production uses jax.random; parity tests feed the
+          reference's torch noise stream through these.
         """
         k_init, k_loop = jax.random.split(rng)
-        noise = jax.random.normal(k_init, tuple(shape), dtype=jnp.float32)
+        if init_noise is not None:
+            noise = jnp.asarray(init_noise, dtype=jnp.float32)
+            assert tuple(noise.shape) == tuple(shape), (noise.shape, shape)
+        else:
+            noise = jax.random.normal(k_init, tuple(shape), dtype=jnp.float32)
         denoise_fn = self.make_denoise_fn(params, cond, uc)
 
         if mode == "sdedit":
@@ -321,13 +332,16 @@ class CCEditEngine:
                 x = prior_noise_coefficient * x + prior_coefficient * x_prior
 
         if mode == "skip_steps":
+            assert loop_noise is None, "loop_noise only supported in full mode"
             return self.sampler.sdedit(sdedit_steps, denoise_fn, x, k_loop, num_steps)
         if inpaint_x0 is not None:
             assert inpaint_mask is not None
+            assert loop_noise is None, "loop_noise only supported in full mode"
             return self.sampler.sample_inpainting(
                 denoise_fn, x, k_loop, inpaint_x0, inpaint_mask, num_steps
             )
-        return self.sampler(denoise_fn, x, k_loop, num_steps=num_steps)
+        return self.sampler(denoise_fn, x, k_loop, num_steps=num_steps,
+                            noise_override=loop_noise)
 
     # ------------------------------------------------------------------
     # training

@@ -1,0 +1,324 @@
+"""Full sampling-CHAIN parity against the reference torch loop.
+
+The network forwards are bit-pinned in test_torch_parity.py; this module pins
+the LOOP around them — the one seam those tests cannot catch (round-3 verdict
+item 1).  With identical injected noise (init + per-step ancestral draws) the
+entire chain must agree:
+
+  * prepare_sampling_loop's sqrt(1+sigma_0^2)   — sampling.py:44-55
+  * VanillaCFGTV2V batch-doubling + combine      — guiders.py:8-40,56-67
+  * DiscreteDenoiser sigma->idx quantization     — denoiser.py:43-75
+  * get_ancestral_step sigma_down/up split       — sampling_utils.py:27-36
+  * DPMPP2SAncestralSampler midpoint math        — sampling.py:370-407
+  * EulerAncestralSampler                        — sampling.py:360-367
+  * DPMPP2MSampler multistep carry               — sampling.py:410-485
+
+Torch noise is injected via the reference's own ``noise_sampler`` attribute
+(sampling.py: AncestralSampler.__init__) replaced with a queue of
+pre-generated numpy tensors; the same tensors feed our sampler through
+``noise_override`` / ``engine.sample(init_noise=..., loop_noise=...)``.
+
+This harness is also the real-weight golden runner: the moment reference
+checkpoints are available, load them through ccedit_tpu.io instead of
+randomize_state_dict and the same asserts become end-to-end goldens.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from reference_compat import install_reference, randomize_state_dict  # noqa: E402
+from test_torch_parity import CONV_KW, TINY, _sd_np, _to_np, _torch_tv2v  # noqa: E402
+
+from ccedit_tpu.io.torch_convert import convert_controlnet, convert_unet  # noqa: E402
+
+N_STEPS = 8
+CFG_SCALE = 5.0
+LEGACY = {
+    "target": "sgm.modules.diffusionmodules.discretizer.LegacyDDPMDiscretization"
+}
+GUIDER_TV2V = {
+    "target": "sgm.modules.diffusionmodules.guiders.VanillaCFGTV2V",
+    "params": {"scale": CFG_SCALE},
+}
+
+
+@pytest.fixture(scope="module")
+def sgm():
+    return install_reference()
+
+
+def _make_torch_denoiser(sgm, wrapper):
+    """The reference engine's denoiser closure: DiscreteDenoiser(EpsScaling,
+    LegacyDDPM table) over the wrapped network (sampling_tv2v.py:366-369)."""
+    from sgm.modules.diffusionmodules.denoiser import DiscreteDenoiser
+
+    dd = DiscreteDenoiser(
+        weighting_config={
+            "target": "sgm.modules.diffusionmodules.denoiser_weighting.EpsWeighting"
+        },
+        scaling_config={
+            "target": "sgm.modules.diffusionmodules.denoiser_scaling.EpsScaling"
+        },
+        num_idx=1000,
+        discretization_config=LEGACY,
+    )
+
+    def denoiser(x, sigma, c):
+        return dd(wrapper, x, sigma, c)
+
+    return denoiser
+
+
+@pytest.fixture(scope="module")
+def tv2v_pair(sgm):
+    """Reference TV2V wrapper + our CCEditNetwork with converted weights."""
+    from sgm.modules.diffusionmodules.wrappers import OpenAIWrapperControlLDM3DTV2V
+
+    from ccedit_tpu.modules.controlnet import CCEditNetwork, ControlNet2D
+    from ccedit_tpu.modules.unet import UNetModel
+
+    tm = _torch_tv2v(sgm)
+    randomize_state_dict(tm, seed=50)
+    wrapper = OpenAIWrapperControlLDM3DTV2V(tm)
+
+    sd = _sd_np(tm)
+    unet_sd = {k: v for k, v in sd.items() if not k.startswith("controlnet")}
+    tiny_kw = {**TINY, "attention_resolutions": (2, 1), "channel_mult": (1, 2)}
+    net = CCEditNetwork(
+        unet=UNetModel(unet_type="pseudo-3d", disable_temporal_text_ca=True, **tiny_kw),
+        controlnet=ControlNet2D(hint_channels=3, **tiny_kw),
+    )
+    params = {
+        "unet": convert_unet(unet_sd, prefix="", video=True, **CONV_KW),
+        "controlnet": convert_controlnet(sd, prefix="controlnet.", **CONV_KW),
+    }
+    return _make_torch_denoiser(sgm, wrapper), net, params
+
+
+@pytest.fixture(scope="module")
+def tvi2v_pair(sgm):
+    """Reference TVI2V (appearance branch + CFCA) + our converted network."""
+    from sgm.modules.diffusionmodules.wrappers import OpenAIWrapperControlLDM3DTV2V
+
+    from ccedit_tpu.modules.controlnet import CCEditNetwork, ControlNet2D
+    from ccedit_tpu.modules.unet import UNetModel
+
+    tm = _torch_tv2v(sgm, cfca=True, with_img=True)
+    randomize_state_dict(tm, seed=51)
+    wrapper = OpenAIWrapperControlLDM3DTV2V(tm)
+
+    sd = _sd_np(tm)
+    unet_sd = {k: v for k, v in sd.items() if not k.startswith("controlnet")}
+    tiny_kw = {**TINY, "attention_resolutions": (2, 1), "channel_mult": (1, 2)}
+    net = CCEditNetwork(
+        unet=UNetModel(
+            unet_type="pseudo-3d", disable_temporal_text_ca=True,
+            enable_attention3d_crossframe=True, st3dca_ca_type="center_self",
+            **tiny_kw,
+        ),
+        controlnet=ControlNet2D(hint_channels=3, **tiny_kw),
+        controlnet_img=ControlNet2D(
+            hint_channels=4, input_hint_identity=True, no_add_x=True,
+            disable_text_ca=True, **tiny_kw,
+        ),
+    )
+    params = {
+        "unet": convert_unet(unet_sd, prefix="", video=True, cfca=True, **CONV_KW),
+        "controlnet": convert_controlnet(sd, prefix="controlnet.", **CONV_KW),
+        "controlnet_img": convert_controlnet(
+            sd, prefix="controlnet_img.", identity_hint=True,
+            disable_text_ca=True, **CONV_KW,
+        ),
+    }
+    return _make_torch_denoiser(sgm, wrapper), net, params
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(123)
+    return dict(
+        x_init=rng.standard_normal((1, 4, 3, 8, 8)).astype(np.float32),
+        loop_noise=rng.standard_normal((N_STEPS, 1, 4, 3, 8, 8)).astype(np.float32),
+        ctx_c=rng.standard_normal((1, 7, 16)).astype(np.float32),
+        ctx_u=rng.standard_normal((1, 7, 16)).astype(np.float32),
+        hint=(rng.random((1, 3, 3, 64, 64)) * 2 - 1).astype(np.float32),
+        cond_feat=rng.standard_normal((1, 4, 8, 8)).astype(np.float32),
+    )
+
+
+def _run_torch_chain(torch_denoiser, sampler_cls_name, inputs, num_steps,
+                     extra_kwargs=None, inject_loop_noise=True,
+                     with_cond_feat=False):
+    import sgm.modules.diffusionmodules.sampling as ref_sampling
+
+    cls = getattr(ref_sampling, sampler_cls_name)
+    kwargs = dict(
+        discretization_config=LEGACY,
+        num_steps=num_steps,
+        guider_config=GUIDER_TV2V,
+        verbose=False,
+        device="cpu",
+    )
+    kwargs.update(extra_kwargs or {})
+    sampler = cls(**kwargs)
+    if inject_loop_noise:
+        queue = [torch.from_numpy(n) for n in inputs["loop_noise"][:num_steps]]
+        sampler.noise_sampler = lambda x: queue.pop(0)
+
+    cond = {
+        "crossattn": torch.from_numpy(inputs["ctx_c"]),
+        "control_hint": torch.from_numpy(inputs["hint"]),
+    }
+    uc = {
+        "crossattn": torch.from_numpy(inputs["ctx_u"]),
+        "control_hint": torch.from_numpy(inputs["hint"]).clone(),
+    }
+    if with_cond_feat:
+        # the reference's uc clones cond_img, so uc carries the SAME latent
+        # (sampling_tv2v_ref.py:377-388)
+        cond["cond_feat"] = torch.from_numpy(inputs["cond_feat"])
+        uc["cond_feat"] = torch.from_numpy(inputs["cond_feat"]).clone()
+    with torch.no_grad():
+        out = sampler(
+            torch_denoiser, torch.from_numpy(inputs["x_init"]).clone(), cond, uc
+        )
+    if inject_loop_noise:
+        assert not queue, f"{len(queue)} injected noise rows unconsumed"
+    return _to_np(out)
+
+
+def _make_engine(net, sampler):
+    from ccedit_tpu.diffusion.denoiser import DiscreteDenoiser
+    from ccedit_tpu.diffusion.guidance import VanillaCFG
+    from ccedit_tpu.models.engine import CCEditEngine
+
+    return CCEditEngine(
+        network=net,
+        denoiser=DiscreteDenoiser("eps"),
+        sampler=sampler,
+        conditioner=None,
+        vae=None,
+        guider=VanillaCFG(scale=CFG_SCALE),
+    )
+
+
+def _run_jax_chain(net, params, sampler, inputs, num_steps, inject_loop_noise=True,
+                   with_cond_feat=False):
+    import jax
+    import jax.numpy as jnp
+
+    engine = _make_engine(net, sampler)
+    cond = {
+        "crossattn": jnp.asarray(inputs["ctx_c"]),
+        "control_hint": jnp.asarray(inputs["hint"].transpose(0, 2, 3, 4, 1)),
+    }
+    uc = {
+        "crossattn": jnp.asarray(inputs["ctx_u"]),
+        "control_hint": jnp.asarray(inputs["hint"].transpose(0, 2, 3, 4, 1)),
+    }
+    if with_cond_feat:
+        cf = jnp.asarray(inputs["cond_feat"].transpose(0, 2, 3, 1))
+        cond["cond_feat"] = cf
+        uc["cond_feat"] = cf
+    init = inputs["x_init"].transpose(0, 2, 3, 4, 1)  # BCTHW -> BTHWC
+    loop = (
+        inputs["loop_noise"][:num_steps].transpose(0, 1, 3, 4, 5, 2)
+        if inject_loop_noise
+        else None
+    )
+    out = engine.sample(
+        {"network": params},
+        cond,
+        uc,
+        shape=init.shape,
+        rng=jax.random.PRNGKey(0),
+        num_steps=num_steps,
+        init_noise=init,
+        loop_noise=loop,
+    )
+    return np.asarray(out).transpose(0, 4, 1, 2, 3)  # back to BCTHW
+
+
+class TestSamplingChainParity:
+    def test_dpmpp2s_ancestral_chain(self, tv2v_pair, inputs):
+        """CCEdit's shipped sampler: 8 steps, CFG 5, eta 1 — the flagship chain."""
+        from ccedit_tpu.diffusion.discretization import LegacyDDPMDiscretization
+        from ccedit_tpu.diffusion.samplers import DPMPP2SAncestralSampler
+
+        torch_denoiser, net, params = tv2v_pair
+        ref = _run_torch_chain(
+            torch_denoiser, "DPMPP2SAncestralSampler", inputs, N_STEPS,
+            extra_kwargs=dict(eta=1.0, s_noise=1.0),
+        )
+        ours = _run_jax_chain(
+            net, params,
+            DPMPP2SAncestralSampler(
+                discretization=LegacyDDPMDiscretization(), num_steps=N_STEPS,
+                eta=1.0, s_noise=1.0,
+            ),
+            inputs, N_STEPS,
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+    def test_euler_ancestral_chain(self, tv2v_pair, inputs):
+        from ccedit_tpu.diffusion.discretization import LegacyDDPMDiscretization
+        from ccedit_tpu.diffusion.samplers import EulerAncestralSampler
+
+        torch_denoiser, net, params = tv2v_pair
+        ref = _run_torch_chain(
+            torch_denoiser, "EulerAncestralSampler", inputs, N_STEPS,
+            extra_kwargs=dict(eta=1.0, s_noise=1.0),
+        )
+        ours = _run_jax_chain(
+            net, params,
+            EulerAncestralSampler(
+                discretization=LegacyDDPMDiscretization(), num_steps=N_STEPS,
+                eta=1.0, s_noise=1.0,
+            ),
+            inputs, N_STEPS,
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+    def test_dpmpp2s_tvi2v_cfca_chain(self, tvi2v_pair, inputs):
+        """Flagship creative workflow: appearance branch + CFCA through the
+        full DPM++ 2S ancestral loop (fewer steps — the network is ~2x the
+        TV2V cost on CPU)."""
+        from ccedit_tpu.diffusion.discretization import LegacyDDPMDiscretization
+        from ccedit_tpu.diffusion.samplers import DPMPP2SAncestralSampler
+
+        torch_denoiser, net, params = tvi2v_pair
+        steps = 5
+        ref = _run_torch_chain(
+            torch_denoiser, "DPMPP2SAncestralSampler", inputs, steps,
+            extra_kwargs=dict(eta=1.0, s_noise=1.0), with_cond_feat=True,
+        )
+        ours = _run_jax_chain(
+            net, params,
+            DPMPP2SAncestralSampler(
+                discretization=LegacyDDPMDiscretization(), num_steps=steps,
+                eta=1.0, s_noise=1.0,
+            ),
+            inputs, steps, with_cond_feat=True,
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+    def test_dpmpp2m_chain(self, tv2v_pair, inputs):
+        """DPM++ 2M draws no loop noise; only the init noise is injected."""
+        from ccedit_tpu.diffusion.discretization import LegacyDDPMDiscretization
+        from ccedit_tpu.diffusion.samplers import DPMPP2MSampler
+
+        torch_denoiser, net, params = tv2v_pair
+        ref = _run_torch_chain(
+            torch_denoiser, "DPMPP2MSampler", inputs, N_STEPS,
+            inject_loop_noise=False,
+        )
+        ours = _run_jax_chain(
+            net, params,
+            DPMPP2MSampler(
+                discretization=LegacyDDPMDiscretization(), num_steps=N_STEPS,
+            ),
+            inputs, N_STEPS, inject_loop_noise=False,
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
