@@ -44,33 +44,17 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
-               "f64": 8, "s8": 1, "u8": 1, "s64": 8, "u64": 8}
-
 # v5e ICI: ~45 GB/s per direction per axis (scaling-book numbers); an 8-chip
 # slice is a 2x4 torus — we model the data-axis ring at one axis's bandwidth
 ICI_BW = 45e9
 
 
 def parse_collectives(hlo: str):
-    """Yield (op, result_shape_str, bytes) for every collective in the HLO."""
-    pat = re.compile(
-        r"=\s*((?:\([^)]*\)|\S+))\s+"
-        r"(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)"
-        r"(?:-start)?\(", re.M)
-    out = []
-    for m in pat.finditer(hlo):
-        shape_s, op = m.group(1), m.group(2)
-        total = 0
-        for ty, dims in re.findall(r"(\w+)\[([\d,]*)\]", shape_s):
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            total += n * DTYPE_BYTES.get(ty, 4)
-        out.append((op, shape_s if len(shape_s) < 70 else shape_s[:67] + "...",
-                    total))
-    return out
+    """Yield (op, result_shape_str, bytes) — shared parser; the pytest
+    regression guard (tests/test_collective_census.py) uses the same one."""
+    from ccedit_tpu.parallel.audit import parse_collectives as _pc
+
+    return [(c.op, c.shape, c.nbytes) for c in _pc(hlo)]
 
 
 def ring_cost_s(op: str, nbytes: int, n: int = 8) -> float:

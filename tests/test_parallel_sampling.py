@@ -147,9 +147,13 @@ class TestSingleClipFrameSharding:
         )
 
     def test_frame_sharded_uneven_frames(self):
-        """T=17 (the production clip length) does not divide 8 — GSPMD pads
-        internally; results must still match the single-device program."""
+        """T=17 (the production clip length) does not divide 8, so
+        pick_clip_axis falls through to the HEIGHT axis (axis 2) — the same
+        axis the v5e-8 <10 s projection rides on (PERF_r3.md §7).  Results
+        must match the single-device program."""
         from ccedit_tpu.parallel.sampling import make_frame_sharded_sample
+
+        from ccedit_tpu.parallel.sampling import pick_clip_axis
 
         t = 17
         engine, params, c, uc = self._setup(t)
@@ -157,6 +161,7 @@ class TestSingleClipFrameSharding:
         plain = engine.sample(params, c, uc, z_shape, jax.random.PRNGKey(4))
 
         plan = make_mesh(jax.devices(), data=8, model=1)
+        assert pick_clip_axis(plan, z_shape) == 2  # height, as in production
         fn = make_frame_sharded_sample(engine, plan, z_shape, num_steps=None)
         sharded = fn(params, c, uc, jax.random.PRNGKey(4))
         np.testing.assert_allclose(
