@@ -221,6 +221,10 @@ def main():
     T = int(os.environ.get("BENCH_FRAMES", 17))
     H = int(os.environ.get("BENCH_H", 512))
     W = int(os.environ.get("BENCH_W", 768))
+    # BASELINE config 5 (batched sampling sweep): B clips per device call —
+    # the CLI batches num_samples the same way (cli/pipeline.py).  B>1 is a
+    # throughput measurement; host stages assume one clip, so force core.
+    B = int(os.environ.get("BENCH_CLIP_BS", 1))
     steps = int(os.environ.get("BENCH_STEPS", 50 if workload == "tvi2v" else 30))
     cfg_scale = 7.0 if workload == "tvi2v" else 7.5
     dtype = jnp.float32 if os.environ.get("BENCH_FP32") else jnp.bfloat16
@@ -251,14 +255,14 @@ def main():
     vae = AutoencoderKL(dtype=dtype)
 
     rng = jax.random.PRNGKey(0)
-    x = jnp.zeros((1, T, h8, w8, 4), dtype=jnp.float32)
-    tt = jnp.array([500.0])
+    x = jnp.zeros((B, T, h8, w8, 4), dtype=jnp.float32)
+    tt = jnp.full((B,), 500.0)
     cond = {
-        "crossattn": jnp.zeros((1, 77, 768), dtype=dtype),
-        "control_hint": jnp.zeros((1, T, H, W, 3), dtype=dtype),
+        "crossattn": jnp.zeros((B, 77, 768), dtype=dtype),
+        "control_hint": jnp.zeros((B, T, H, W, 3), dtype=dtype),
     }
     if workload == "tvi2v":
-        cond["cond_feat"] = jnp.zeros((1, h8, w8, 4), dtype=dtype)
+        cond["cond_feat"] = jnp.zeros((B, h8, w8, 4), dtype=dtype)
     t0 = time.time()
     # store params in the COMPUTE dtype: fp32 storage costs ~17s/clip of
     # in-program fp32->bf16 weight casts (6.4GB read + 3.2GB write per
@@ -340,6 +344,8 @@ def main():
         return decode_clip(vae_params, sample_clip(x0, key))
 
     mode = os.environ.get("BENCH_MODE", "e2e")
+    if B > 1:
+        mode = "core"
 
     # ---- e2e extras: host decode, depth annotator, text encoder, encode ----
     if mode == "e2e":
@@ -440,14 +446,19 @@ def main():
             times.append(time.time() - t0)
     latency = min(times)
 
+    from ccedit_tpu.ops.attention import quantized_qk_enabled
+    from ccedit_tpu.ops.quant import quantized_matmul_enabled
+
     detail = {
-        "workload": f"{workload} {T}f {H}x{W} {steps} steps DPM++2S "
+        "workload": f"{workload} bs{B} {T}f {H}x{W} {steps} steps DPM++2S "
                     f"CFG{cfg_scale} + VAE decode",
         "mode": mode,
         "dtype": "bfloat16" if dtype == jnp.bfloat16 else "float32",
+        "int8": bool(quantized_matmul_enabled() or quantized_qk_enabled()),
         "device": str(jax.devices()[0]),
         "params": n_params,
-        "frames_per_s_per_chip": round(T / latency, 3),
+        "clip_batch": B,
+        "frames_per_s_per_chip": round(B * T / latency, 3),
         "compile_s": round(compile_s, 1),
         "init_s": round(init_s, 1),
         "all_runs_s": [round(t, 3) for t in times],

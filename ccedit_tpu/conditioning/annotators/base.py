@@ -244,7 +244,10 @@ class AnnotatorEmbedder(Embedder):
         frames = video_np.reshape((b * t,) + video_np.shape[2:])
         out = self._chunked(self.backbone_params, frames)
         out = out.reshape((b, t) + out.shape[1:])
-        # keep a ref to the input so the id() key can't be recycled
+        # keep a ref to the input so the id() key can't be recycled, and
+        # freeze it: the memo is identity-keyed, so in-place mutation of a
+        # cached clip would otherwise silently serve stale depth
+        video_np.setflags(write=False)
         self._chunk_memo[key] = (video_np, out)
         while len(self._chunk_memo) > self._chunk_memo_cap:
             self._chunk_memo.popitem(last=False)
