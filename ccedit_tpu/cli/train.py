@@ -33,6 +33,9 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=None, help="override data batch size")
     p.add_argument("--ckpt_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--sample_every", type=int, default=0,
+                   help="log sample grids every N steps (0=off; also logs "
+                        "at step 1 — the ImageLogger equivalent)")
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
     p.add_argument("--scale_lr", type=lambda s: s.lower() != "false", default=True)
     p.add_argument("--mesh_data", type=int, default=None, help="data-parallel mesh size")
@@ -116,6 +119,7 @@ def main(argv=None):
             max_steps=args.max_steps,
             ckpt_every=args.ckpt_every,
             log_every=args.log_every,
+            sample_every=args.sample_every,
             accumulate_grad_batches=args.accumulate_grad_batches,
             base_lr=base_lr,
             scale_lr=args.scale_lr,

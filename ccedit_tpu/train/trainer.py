@@ -115,12 +115,16 @@ class Trainer:
     def save(self, mngr, state: TrainState):
         import orbax.checkpoint as ocp
 
-        mngr.save(
-            int(state.step),
-            args=ocp.args.PyTreeSave({"params": state.params,
-                                      "opt_state": state.opt_state,
-                                      "step": state.step}),
-        )
+        tree = {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step}
+        if state.ema is not None:
+            # the EMA shadow is part of training state (the reference's LitEma
+            # buffers live in the torch checkpoint, sgm/modules/ema.py) — a
+            # resume that re-seeded it from fresh-init params would silently
+            # discard the averaged weights
+            tree["ema_shadow"] = state.ema.shadow
+            tree["ema_num_updates"] = state.ema.num_updates
+        mngr.save(int(state.step), args=ocp.args.PyTreeSave(tree))
 
     def try_restore(self, mngr, state: TrainState) -> TrainState:
         latest = mngr.latest_step()
@@ -128,16 +132,38 @@ class Trainer:
             return state
         import orbax.checkpoint as ocp
 
-        restored = mngr.restore(
-            latest,
-            args=ocp.args.PyTreeRestore(
-                {"params": state.params, "opt_state": state.opt_state,
-                 "step": state.step}
-            ),
-        )
+        meta = mngr.item_metadata(latest)
+        disk_has_ema = False
+        try:
+            disk_has_ema = "ema_shadow" in meta
+        except TypeError:  # metadata objects without __contains__
+            disk_has_ema = hasattr(meta, "ema_shadow")
+        target = {"params": state.params, "opt_state": state.opt_state,
+                  "step": state.step}
+        want_ema = state.ema is not None and disk_has_ema
+        if want_ema:
+            target["ema_shadow"] = state.ema.shadow
+            target["ema_num_updates"] = state.ema.num_updates
+        restored = mngr.restore(latest, args=ocp.args.PyTreeRestore(target))
+        if state.ema is None:
+            ema = None
+        elif want_ema:
+            ema = dataclasses.replace(
+                state.ema, shadow=restored["ema_shadow"],
+                num_updates=restored["ema_num_updates"])
+        else:
+            # pre-EMA checkpoint: re-seed the shadow from the RESTORED params
+            # (not the fresh-init ones) and advance the warmup counter to the
+            # restored step so the decay schedule doesn't restart
+            ema = dataclasses.replace(
+                state.ema,
+                shadow=self.engine.ema_subset(restored["params"]["network"]),
+                num_updates=jnp.asarray(restored["step"], jnp.int32))
+            print("[resume] checkpoint has no EMA shadow; re-seeded from "
+                  "restored params")
         print(f"[resume] restored step {latest}")
         return TrainState(restored["params"], restored["opt_state"],
-                          restored["step"], state.ema)
+                          restored["step"], ema)
 
     # -- logging ------------------------------------------------------
     def _log(self, step: int, metrics: Dict):
@@ -187,23 +213,36 @@ class Trainer:
             # params is the params themselves) — reconstitute the full tree
             use_params["network"] = eng.merge_ema(params["network"], ema_shadow)
         prepared = eng.conditioner.prepare(batch)
-        # first sample only (the reference logs a small grid; we log one clip)
+        is_video = np.asarray(prepared[eng.input_key]).ndim == 5
+        # video: first clip only; image: a small grid of samples (the
+        # reference ImageLogger logs N_row images — main.py:439-487)
+        n_keep = 1 if is_video else min(
+            8, np.asarray(prepared[eng.input_key]).shape[0])
         prepared = {
-            k: (v[:1] if not isinstance(v, list) else v[:1])
+            k: (v[:n_keep] if not isinstance(v, list) else v[:n_keep])
             for k, v in prepared.items()
         }
         c, uc = eng.conditioner.get_unconditional_conditioning(
             use_params["conditioner"], prepared, prepared
         )
-        x = np.asarray(prepared[eng.input_key])[:1]
+        x = np.asarray(prepared[eng.input_key])[:n_keep]
         z = eng.encode_first_stage(use_params, jnp.asarray(x))
         rng = jax.random.PRNGKey(self.cfg.seed + step)
         latents = eng.sample(
             use_params, c, uc, z.shape, rng, num_steps=self.cfg.sample_steps
         )
-        frames = np.asarray(eng.decode_first_stage(use_params, latents))[0]
         out_dir = self.logdir / "images"
         out_dir.mkdir(exist_ok=True)
+        if not is_video:
+            # image engine (toy MNIST/CIFAR): one PNG grid — inputs on top,
+            # samples below; the batch axis plays the grid's frame axis
+            samples = np.asarray(eng.decode_first_stage(use_params, latents))
+            tile = lambda a: (np.repeat(a, 3, axis=-1)
+                              if a.shape[-1] == 1 else a)
+            save_panel_grid([tile(x), tile(samples)],
+                            str(out_dir / f"step{step:08d}_panel.png"))
+            return
+        frames = np.asarray(eng.decode_first_stage(use_params, latents))[0]
         save_video_frames(frames, str(out_dir / f"step{step:08d}_sample.gif"), fps=4)
         save_video_frames(x[0], str(out_dir / f"step{step:08d}_input.gif"), fps=4)
         # conditioning-panel grid (the reference's log_images conditioning
@@ -326,7 +365,11 @@ class Trainer:
                     if step % cfg.ckpt_every == 0 or usr1_flag["save"]:
                         self.save(mngr, state)
                         usr1_flag["save"] = False
-                    if cfg.sample_every and step % cfg.sample_every == 0:
+                    # sample on the FIRST step too (the reference ImageLogger
+                    # logs batch 0 before training moves the weights —
+                    # main.py:326-523), so step-1-vs-step-N grids show drift
+                    if cfg.sample_every and (step % cfg.sample_every == 0
+                                             or step == 1):
                         try:
                             host_params = jax.device_get(state.params)
                             shadow = (

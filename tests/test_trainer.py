@@ -68,6 +68,54 @@ class TestTrainerSmoke:
         state2 = trainer2.fit(loader, batch_size=8, resume=True)
         assert int(state2.step) == 3
 
+    def test_resume_restores_ema_shadow(self, tmp_path):
+        """The EMA shadow is training state: a resume must restore the saved
+        averaged weights, NOT re-seed from fresh-init params (the reference
+        keeps LitEma buffers in the torch checkpoint, sgm/modules/ema.py)."""
+        assert len(jax.devices()) == 8
+        engine = make_tiny_engine(freeze="none")
+        engine.use_ema = True
+        ds = SyntheticVideoDataset(n_items=16, num_frames=2, size_hw=(16, 16))
+
+        class HintFix:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                s = ds[i]
+                hint = np.repeat(np.repeat(s["jpg"], 4, axis=1), 4, axis=2)
+                return {"jpg": s["jpg"],
+                        "txt_emb": np.zeros((7, 16), dtype=np.float32),
+                        "control_hint": hint}
+
+        loader = DataLoader(HintFix(), batch_size=8, seed=0)
+        plan = make_mesh(jax.devices(), data=8, model=1)
+        cfg = dict(logdir=str(tmp_path / "run"), max_steps=2, ckpt_every=2,
+                   log_every=1, base_lr=1e-1, scale_lr=False, seed=0)
+        trainer = Trainer(engine, TrainerConfig(**cfg), plan=plan)
+        state = trainer.fit(loader, batch_size=8, resume=False)
+        assert state.ema is not None and int(state.ema.num_updates) == 2
+        want = jax.tree_util.tree_leaves(jax.device_get(state.ema.shadow))
+
+        # resume at max_steps == saved step: fit restores and exits without
+        # stepping, so the returned EMA must be byte-identical to the saved one
+        trainer2 = Trainer(engine, TrainerConfig(**cfg), plan=plan)
+        state2 = trainer2.fit(loader, batch_size=8, resume=True)
+        assert int(state2.ema.num_updates) == 2
+        got = jax.tree_util.tree_leaves(jax.device_get(state2.ema.shadow))
+        assert len(want) == len(got)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+        # and it is NOT the fresh-init shadow (lr was large enough to move
+        # the params in 2 steps)
+        fresh = engine.ema_subset(
+            jax.device_get(state2.params)["network"])
+        fresh_leaves = jax.tree_util.tree_leaves(fresh)
+        assert any(
+            not np.array_equal(np.asarray(w), np.asarray(f))
+            for w, f in zip(want, fresh_leaves)
+        )
+
 
 class TestLrSchedules:
     def test_tabulated_schedule_matches_host_values(self):
