@@ -179,13 +179,18 @@ class BaseSampler:
         x: Array,
         rng: jax.Array,
         num_steps: Optional[int] = None,
+        noise_override: Optional[Array] = None,
     ) -> Array:
         """Skip the first (num_steps - denoise_steps) iterations
-        (sampling.py:270-293).  x must already be the noised input."""
+        (sampling.py:270-293).  x must already be the noised input.
+        ``noise_override`` rows (if given) cover only the EXECUTED steps —
+        the reference's noise_sampler is likewise only consulted inside the
+        iterations that run."""
         sigmas = self.get_sigmas(num_steps)
         x = self.prepare_x(x, sigmas)
         start = len(sigmas) - 1 - denoise_steps
-        return self._run(denoise_fn, x, rng, sigmas, start_step=start, pre_fn=None)
+        return self._run(denoise_fn, x, rng, sigmas, start_step=start,
+                         pre_fn=None, noise_override=noise_override)
 
     def sample_inpainting(
         self, denoise_fn, x, rng, x0, mask, num_steps: Optional[int] = None

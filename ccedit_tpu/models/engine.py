@@ -332,8 +332,8 @@ class CCEditEngine:
                 x = prior_noise_coefficient * x + prior_coefficient * x_prior
 
         if mode == "skip_steps":
-            assert loop_noise is None, "loop_noise only supported in full mode"
-            return self.sampler.sdedit(sdedit_steps, denoise_fn, x, k_loop, num_steps)
+            return self.sampler.sdedit(sdedit_steps, denoise_fn, x, k_loop,
+                                       num_steps, noise_override=loop_noise)
         if inpaint_x0 is not None:
             assert inpaint_mask is not None
             assert loop_noise is None, "loop_noise only supported in full mode"

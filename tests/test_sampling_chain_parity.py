@@ -322,3 +322,240 @@ class TestSamplingChainParity:
             inputs, N_STEPS, inject_loop_noise=False,
         )
         np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+
+def _install_streamlit_stub():
+    """scripts/demo/streamlit_helpers.py (owner of the reference's
+    Img2ImgDiscretizationWrapper) imports streamlit + imwatermark and builds a
+    watermark embedder at module scope; stub exactly that surface."""
+    import sys
+    import types
+
+    if "streamlit" not in sys.modules:
+        st = types.ModuleType("streamlit")
+        st.cache_resource = lambda *a, **k: (lambda f: f)
+        sys.modules["streamlit"] = st
+    if "imwatermark" not in sys.modules:
+        iw = types.ModuleType("imwatermark")
+
+        class WatermarkEncoder:
+            def set_watermark(self, *a, **k):
+                pass
+
+        iw.WatermarkEncoder = WatermarkEncoder
+        sys.modules["imwatermark"] = iw
+
+
+class TestCreativeWorkflowEntryParity:
+    """The three latent-preparation modes the TV2V/TVI2V CLIs layer AROUND
+    the sampling loop (sampling_tv2v.py:364-446) — prior mixing, the
+    img2img-pruned sdedit schedule, and sampler-level skip-steps — pinned
+    against the reference with the same injected noise."""
+
+    def test_prior_mixing_chain(self, tv2v_pair, inputs):
+        """prior_type=ref noise mixing: randn = c_x*prior + c_noise*randn
+        BEFORE the loop (sampling_tv2v.py:371-376).  c_x=0.3/c_noise=0.9
+        exercise both coefficients harder than the shipped 0.03/1.0."""
+        from ccedit_tpu.diffusion.discretization import LegacyDDPMDiscretization
+        from ccedit_tpu.diffusion.samplers import DPMPP2SAncestralSampler
+
+        torch_denoiser, net, params = tv2v_pair
+        c_x, c_noise = 0.3, 0.9
+        rng = np.random.default_rng(321)
+        prior = rng.standard_normal(inputs["x_init"].shape).astype(np.float32)
+
+        ref_inputs = dict(inputs)
+        ref_inputs["x_init"] = (c_x * prior + c_noise * inputs["x_init"]).astype(
+            np.float32
+        )
+        ref = _run_torch_chain(
+            torch_denoiser, "DPMPP2SAncestralSampler", ref_inputs, N_STEPS,
+            extra_kwargs=dict(eta=1.0, s_noise=1.0),
+        )
+
+        import jax
+        import jax.numpy as jnp
+
+        engine = _make_engine(
+            net,
+            DPMPP2SAncestralSampler(
+                discretization=LegacyDDPMDiscretization(), num_steps=N_STEPS,
+                eta=1.0, s_noise=1.0,
+            ),
+        )
+        cond = {
+            "crossattn": jnp.asarray(inputs["ctx_c"]),
+            "control_hint": jnp.asarray(inputs["hint"].transpose(0, 2, 3, 4, 1)),
+        }
+        uc = {
+            "crossattn": jnp.asarray(inputs["ctx_u"]),
+            "control_hint": jnp.asarray(inputs["hint"].transpose(0, 2, 3, 4, 1)),
+        }
+        init = inputs["x_init"].transpose(0, 2, 3, 4, 1)
+        out = engine.sample(
+            {"network": params}, cond, uc, shape=init.shape,
+            rng=jax.random.PRNGKey(0), num_steps=N_STEPS,
+            x_prior=jnp.asarray(prior.transpose(0, 2, 3, 4, 1)),
+            prior_coefficient=c_x, prior_noise_coefficient=c_noise,
+            init_noise=init,
+            loop_noise=inputs["loop_noise"][:N_STEPS].transpose(0, 1, 3, 4, 5, 2),
+        )
+        ours = np.asarray(out).transpose(0, 4, 1, 2, 3)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+    def test_sdedit_img2img_pruned_chain(self, tv2v_pair, inputs):
+        """sdedit_denoise_strength: the reference wraps the sampler's
+        discretization in Img2ImgDiscretizationWrapper (pruned schedule),
+        noises the clean latent at the pruned sigma_0 and pre-divides by
+        sqrt(1+sigma_0^2) (sampling_tv2v.py:411-446, streamlit_helpers.py:
+        212-233).  The reference's OWN wrapper class is the oracle."""
+        import sgm.modules.diffusionmodules.sampling as ref_sampling
+
+        from ccedit_tpu.diffusion.discretization import (
+            Img2ImgDiscretizationWrapper, LegacyDDPMDiscretization,
+        )
+        from ccedit_tpu.diffusion.samplers import DPMPP2SAncestralSampler
+
+        _install_streamlit_stub()
+        from scripts.demo.streamlit_helpers import (
+            Img2ImgDiscretizationWrapper as RefImg2Img,
+        )
+
+        torch_denoiser, net, params = tv2v_pair
+        strength = 0.5
+        rng = np.random.default_rng(654)
+        z_clean = rng.standard_normal(inputs["x_init"].shape).astype(np.float32)
+
+        # ---- reference: wrap discretization, noise at pruned sigma_0 ----
+        sampler = ref_sampling.DPMPP2SAncestralSampler(
+            discretization_config=LEGACY, num_steps=N_STEPS,
+            guider_config=GUIDER_TV2V, eta=1.0, s_noise=1.0,
+            verbose=False, device="cpu",
+        )
+        sampler.discretization = RefImg2Img(sampler.discretization,
+                                            strength=strength)
+        sigmas = sampler.discretization(N_STEPS)
+        n_exec = len(sigmas) - 1
+        assert 0 < n_exec < N_STEPS  # schedule genuinely pruned
+        sigma0 = float(sigmas[0])
+        queue = [torch.from_numpy(n)
+                 for n in inputs["loop_noise"][:n_exec]]
+        sampler.noise_sampler = lambda x: queue.pop(0)
+        noised = (z_clean + inputs["x_init"] * sigma0) / np.sqrt(
+            1.0 + sigma0**2)
+        cond = {
+            "crossattn": torch.from_numpy(inputs["ctx_c"]),
+            "control_hint": torch.from_numpy(inputs["hint"]),
+        }
+        uc = {
+            "crossattn": torch.from_numpy(inputs["ctx_u"]),
+            "control_hint": torch.from_numpy(inputs["hint"]).clone(),
+        }
+        with torch.no_grad():
+            ref = _to_np(sampler(
+                torch_denoiser,
+                torch.from_numpy(noised.astype(np.float32)).clone(), cond, uc,
+            ))
+        assert not queue
+
+        # ---- ours: engine mode="sdedit" on the same pruned schedule ----
+        import jax
+        import jax.numpy as jnp
+
+        engine = _make_engine(
+            net,
+            DPMPP2SAncestralSampler(
+                discretization=Img2ImgDiscretizationWrapper(
+                    discretization=LegacyDDPMDiscretization(),
+                    strength=strength),
+                num_steps=N_STEPS, eta=1.0, s_noise=1.0,
+            ),
+        )
+        ours_sigmas = engine.sampler.get_sigmas(N_STEPS)
+        np.testing.assert_allclose(ours_sigmas, np.asarray(sigmas, np.float64),
+                                   rtol=1e-6)
+        jc = {
+            "crossattn": jnp.asarray(inputs["ctx_c"]),
+            "control_hint": jnp.asarray(inputs["hint"].transpose(0, 2, 3, 4, 1)),
+        }
+        ju = {
+            "crossattn": jnp.asarray(inputs["ctx_u"]),
+            "control_hint": jnp.asarray(inputs["hint"].transpose(0, 2, 3, 4, 1)),
+        }
+        init = inputs["x_init"].transpose(0, 2, 3, 4, 1)
+        out = engine.sample(
+            {"network": params}, jc, ju, shape=init.shape,
+            rng=jax.random.PRNGKey(0), num_steps=N_STEPS,
+            mode="sdedit",
+            x_prior=jnp.asarray(z_clean.transpose(0, 2, 3, 4, 1)),
+            init_noise=init,
+            loop_noise=inputs["loop_noise"][:n_exec].transpose(0, 1, 3, 4, 5, 2),
+        )
+        ours = np.asarray(out).transpose(0, 4, 1, 2, 3)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+    def test_skip_steps_sdedit_chain(self, tv2v_pair, inputs):
+        """Sampler-level sdedit (sampling.py:270-293): run only the LAST
+        denoise_steps iterations of the full schedule on an already-noised
+        input; the reference's noise_sampler is consulted only inside the
+        executed steps."""
+        import sgm.modules.diffusionmodules.sampling as ref_sampling
+
+        from ccedit_tpu.diffusion.discretization import LegacyDDPMDiscretization
+        from ccedit_tpu.diffusion.samplers import DPMPP2SAncestralSampler
+
+        torch_denoiser, net, params = tv2v_pair
+        denoise_steps = 3
+
+        sampler = ref_sampling.DPMPP2SAncestralSampler(
+            discretization_config=LEGACY, num_steps=N_STEPS,
+            guider_config=GUIDER_TV2V, eta=1.0, s_noise=1.0,
+            verbose=False, device="cpu",
+        )
+        queue = [torch.from_numpy(n)
+                 for n in inputs["loop_noise"][:denoise_steps]]
+        sampler.noise_sampler = lambda x: queue.pop(0)
+        cond = {
+            "crossattn": torch.from_numpy(inputs["ctx_c"]),
+            "control_hint": torch.from_numpy(inputs["hint"]),
+        }
+        uc = {
+            "crossattn": torch.from_numpy(inputs["ctx_u"]),
+            "control_hint": torch.from_numpy(inputs["hint"]).clone(),
+        }
+        with torch.no_grad():
+            ref = _to_np(sampler.sdedit(
+                denoise_steps, torch_denoiser,
+                torch.from_numpy(inputs["x_init"]).clone(), cond, uc,
+            ))
+        assert not queue
+
+        import jax
+        import jax.numpy as jnp
+
+        engine = _make_engine(
+            net,
+            DPMPP2SAncestralSampler(
+                discretization=LegacyDDPMDiscretization(), num_steps=N_STEPS,
+                eta=1.0, s_noise=1.0,
+            ),
+        )
+        jc = {
+            "crossattn": jnp.asarray(inputs["ctx_c"]),
+            "control_hint": jnp.asarray(inputs["hint"].transpose(0, 2, 3, 4, 1)),
+        }
+        ju = {
+            "crossattn": jnp.asarray(inputs["ctx_u"]),
+            "control_hint": jnp.asarray(inputs["hint"].transpose(0, 2, 3, 4, 1)),
+        }
+        init = inputs["x_init"].transpose(0, 2, 3, 4, 1)
+        out = engine.sample(
+            {"network": params}, jc, ju, shape=init.shape,
+            rng=jax.random.PRNGKey(0), num_steps=N_STEPS,
+            mode="skip_steps", sdedit_steps=denoise_steps,
+            x_prior=jnp.asarray(init),
+            loop_noise=inputs["loop_noise"][:denoise_steps]
+            .transpose(0, 1, 3, 4, 5, 2),
+        )
+        ours = np.asarray(out).transpose(0, 4, 1, 2, 3)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
