@@ -105,7 +105,8 @@ def _bcast(v, x: Array) -> Array:
 # --------------------------------------------------------------------------
 
 def _make_pre_fn(mode: Optional[str], x0: Optional[Array], mask: Optional[Array]):
-    """Returns fn(x, sigma_scalar, rng) applied before each sampler step.
+    """Returns fn(x, sigma_scalar, rng, noise=None) applied before each
+    sampler step; ``noise`` (parity harness) replaces the jax.random draw.
 
     * ``inpaint``: x = x*mask + ((x0 + n*sigma)/sqrt(1+sigma^2))*(1-mask)
     * ``blend``:   first half of the clip is re-seeded from the noised x0's
@@ -113,16 +114,18 @@ def _make_pre_fn(mode: Optional[str], x0: Optional[Array], mask: Optional[Array]
                    sampling.py:235-268; time axis = axis 1 in our BTHWC layout)
     """
     if mode is None:
-        return lambda x, sigma, rng: x
+        return lambda x, sigma, rng, noise=None: x
     if mode == "inpaint":
-        def fn(x, sigma, rng):
-            noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
+        def fn(x, sigma, rng, noise=None):
+            if noise is None:
+                noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
             img_orig = (x0 + noise * sigma) / jnp.sqrt(1.0 + sigma**2)
             return x * mask + img_orig * (1.0 - mask)
         return fn
     if mode == "blend":
-        def fn(x, sigma, rng):
-            noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
+        def fn(x, sigma, rng, noise=None):
+            if noise is None:
+                noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
             img_orig = (x0 + noise * sigma) / jnp.sqrt(1.0 + sigma**2)
             t = x.shape[1]
             return x.at[:, : t // 2].set(img_orig[:, t // 2 + 1 :])
@@ -193,20 +196,24 @@ class BaseSampler:
                          pre_fn=None, noise_override=noise_override)
 
     def sample_inpainting(
-        self, denoise_fn, x, rng, x0, mask, num_steps: Optional[int] = None
+        self, denoise_fn, x, rng, x0, mask, num_steps: Optional[int] = None,
+        noise_override=None,
     ) -> Array:
         sigmas = self.get_sigmas(num_steps)
         x = self.prepare_x(x, sigmas)
         pre = _make_pre_fn("inpaint", x0, mask)
-        return self._run(denoise_fn, x, rng, sigmas, start_step=0, pre_fn=pre)
+        return self._run(denoise_fn, x, rng, sigmas, start_step=0, pre_fn=pre,
+                         noise_override=noise_override)
 
     def sampling_blending(
-        self, denoise_fn, x, rng, x0, num_steps: Optional[int] = None
+        self, denoise_fn, x, rng, x0, num_steps: Optional[int] = None,
+        noise_override=None,
     ) -> Array:
         sigmas = self.get_sigmas(num_steps)
         x = self.prepare_x(x, sigmas)
         pre = _make_pre_fn("blend", x0, None)
-        return self._run(denoise_fn, x, rng, sigmas, start_step=0, pre_fn=pre)
+        return self._run(denoise_fn, x, rng, sigmas, start_step=0, pre_fn=pre,
+                         noise_override=noise_override)
 
     # ---- to implement ---------------------------------------------------
     def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn,
@@ -394,20 +401,41 @@ class EulerAncestralSampler(AncestralSampler):
         sig, nxt, down, up = self._ancestral_tables(sigmas, start_step)
 
         if noise_override is not None:
-            assert pre_fn is None, "noise injection + pre-step hooks unsupported"
-            noise_rows = self._check_noise_override(noise_override, len(sig), x)
+            # Parity-harness path.  noise_override is either an (n, *shape)
+            # array (ancestral loop noise; requires pre_fn None) or a dict
+            # {"loop": rows, "pre": rows} that ALSO injects the pre-step
+            # hook's noise (inpaint/blend img_orig draw) — the reference's
+            # sample_inpainting draws torch.randn_like for the blend and
+            # noise_sampler for the ancestral step, in that order
+            # (sampling.py:207-232).
+            if isinstance(noise_override, dict):
+                assert pre_fn is not None, "dict noise_override needs a pre-step hook"
+                pre_rows = self._check_noise_override(
+                    noise_override["pre"], len(sig), x)
+                loop_rows = self._check_noise_override(
+                    noise_override["loop"], len(sig), x)
+            else:
+                assert pre_fn is None, "array noise_override + pre-step hooks unsupported"
+                pre_rows = None
+                loop_rows = self._check_noise_override(noise_override, len(sig), x)
             consts = jax.tree_util.tree_map(
                 lambda a: jnp.asarray(a, dtype=jnp.float32), (sig, nxt, down, up))
 
             def inj_body(x, per):
-                (sigma, next_sigma, sigma_down, sigma_up), noise_i = per
+                if pre_rows is not None:
+                    (sigma, next_sigma, sigma_down, sigma_up), noise_i, pre_i = per
+                    x = pre_fn(x, sigma, None, noise=pre_i)
+                else:
+                    (sigma, next_sigma, sigma_down, sigma_up), noise_i = per
                 denoised = denoise_fn(x, sigma)
                 d = _to_d(x, sigma, denoised)
                 x = x + (sigma_down - sigma) * d
                 return self._ancestral_noise(x, None, next_sigma, sigma_up,
                                              noise=noise_i), None
 
-            x, _ = jax.lax.scan(inj_body, x, (consts, noise_rows))
+            xs = ((consts, loop_rows, pre_rows) if pre_rows is not None
+                  else (consts, loop_rows))
+            x, _ = jax.lax.scan(inj_body, x, xs)
             return x
 
         def body(x, consts, rng_i):

@@ -336,9 +336,12 @@ class CCEditEngine:
                                        num_steps, noise_override=loop_noise)
         if inpaint_x0 is not None:
             assert inpaint_mask is not None
-            assert loop_noise is None, "loop_noise only supported in full mode"
+            # loop_noise here may be a {"loop": rows, "pre": rows} dict — the
+            # inpaint path draws TWO noise streams per step (img_orig blend +
+            # ancestral); see BaseSampler.sample_inpainting
             return self.sampler.sample_inpainting(
-                denoise_fn, x, k_loop, inpaint_x0, inpaint_mask, num_steps
+                denoise_fn, x, k_loop, inpaint_x0, inpaint_mask, num_steps,
+                noise_override=loop_noise,
             )
         return self.sampler(denoise_fn, x, k_loop, num_steps=num_steps,
                             noise_override=loop_noise)

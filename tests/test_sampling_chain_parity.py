@@ -12,6 +12,10 @@ entire chain must agree:
   * DPMPP2SAncestralSampler midpoint math        — sampling.py:370-407
   * EulerAncestralSampler                        — sampling.py:360-367
   * DPMPP2MSampler multistep carry               — sampling.py:410-485
+  * Heun / Euler EDM chains (EDM rho-schedule)   — sampling.py:326-358
+  * LinearMultistepSampler order-4 coefficients  — sampling.py:296-330
+  * prior mixing / sdedit / skip-steps entries   — sampling_tv2v.py:364-446
+  * inpainting + blending per-step latent blends — sampling.py:207-268
 
 Torch noise is injected via the reference's own ``noise_sampler`` attribute
 (sampling.py: AncestralSampler.__init__) replaced with a queue of
@@ -558,4 +562,230 @@ class TestCreativeWorkflowEntryParity:
             .transpose(0, 1, 3, 4, 5, 2),
         )
         ours = np.asarray(out).transpose(0, 4, 1, 2, 3)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+
+class TestSamplerModeParity:
+    """The per-step latent-blending modes and the deterministic sampler tail:
+    inpainting and blending (sampling.py:207-268, TWO noise streams per step)
+    plus the Heun / Euler-EDM / LMS chains the reference CLI exposes via
+    --sampler_name (all deterministic at s_churn=0, their shipped value)."""
+
+    def _torch_cond(self, inputs):
+        cond = {
+            "crossattn": torch.from_numpy(inputs["ctx_c"]),
+            "control_hint": torch.from_numpy(inputs["hint"]),
+        }
+        uc = {
+            "crossattn": torch.from_numpy(inputs["ctx_u"]),
+            "control_hint": torch.from_numpy(inputs["hint"]).clone(),
+        }
+        return cond, uc
+
+    def _jax_cond(self, inputs):
+        import jax.numpy as jnp
+
+        cond = {
+            "crossattn": jnp.asarray(inputs["ctx_c"]),
+            "control_hint": jnp.asarray(inputs["hint"].transpose(0, 2, 3, 4, 1)),
+        }
+        uc = {
+            "crossattn": jnp.asarray(inputs["ctx_u"]),
+            "control_hint": jnp.asarray(inputs["hint"].transpose(0, 2, 3, 4, 1)),
+        }
+        return cond, uc
+
+    def test_inpainting_chain(self, tv2v_pair, inputs):
+        """sample_inpainting: per-step x = x*mask + noised(x0)*(1-mask) then
+        the ancestral step — the img_orig draw comes from torch.randn_like,
+        the ancestral draw from noise_sampler; both streams injected."""
+        import sgm.modules.diffusionmodules.sampling as ref_sampling
+
+        from ccedit_tpu.diffusion.discretization import LegacyDDPMDiscretization
+        from ccedit_tpu.diffusion.samplers import EulerAncestralSampler
+
+        torch_denoiser, net, params = tv2v_pair
+        rng = np.random.default_rng(777)
+        x0_clean = rng.standard_normal(inputs["x_init"].shape).astype(np.float32)
+        pre_noise = rng.standard_normal(
+            (N_STEPS,) + inputs["x_init"].shape).astype(np.float32)
+        # spatial half-mask in BCTHW; 1 = generate, 0 = keep x0
+        mask_bcthw = np.ones((1, 1, 1, 8, 8), dtype=np.float32)
+        mask_bcthw[..., :4] = 0.0
+
+        sampler = ref_sampling.EulerAncestralSampler(
+            discretization_config=LEGACY, num_steps=N_STEPS,
+            guider_config=GUIDER_TV2V, eta=1.0, s_noise=1.0,
+            verbose=False, device="cpu",
+        )
+        loop_q = [torch.from_numpy(n) for n in inputs["loop_noise"][:N_STEPS]]
+        sampler.noise_sampler = lambda x: loop_q.pop(0)
+        pre_q = [torch.from_numpy(n) for n in pre_noise]
+        cond, uc = self._torch_cond(inputs)
+        orig_randn_like = torch.randn_like
+        try:
+            torch.randn_like = lambda x: pre_q.pop(0)
+            with torch.no_grad():
+                ref = _to_np(sampler.sample_inpainting(
+                    torch_denoiser, torch.from_numpy(inputs["x_init"]).clone(),
+                    cond, torch.from_numpy(x0_clean),
+                    torch.from_numpy(mask_bcthw), uc=uc,
+                ))
+        finally:
+            torch.randn_like = orig_randn_like
+        assert not loop_q and not pre_q
+
+        import jax
+        import jax.numpy as jnp
+
+        engine = _make_engine(
+            net,
+            EulerAncestralSampler(
+                discretization=LegacyDDPMDiscretization(), num_steps=N_STEPS,
+                eta=1.0, s_noise=1.0,
+            ),
+        )
+        jc, ju = self._jax_cond(inputs)
+        init = inputs["x_init"].transpose(0, 2, 3, 4, 1)
+        tr6 = lambda a: a.transpose(0, 1, 3, 4, 5, 2)
+        out = engine.sample(
+            {"network": params}, jc, ju, shape=init.shape,
+            rng=jax.random.PRNGKey(0), num_steps=N_STEPS,
+            init_noise=init,
+            inpaint_x0=jnp.asarray(x0_clean.transpose(0, 2, 3, 4, 1)),
+            inpaint_mask=jnp.asarray(mask_bcthw.transpose(0, 2, 3, 4, 1)),
+            loop_noise={
+                "loop": tr6(inputs["loop_noise"][:N_STEPS]),
+                "pre": tr6(pre_noise),
+            },
+        )
+        ours = np.asarray(out).transpose(0, 4, 1, 2, 3)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+    def test_blending_chain(self, tv2v_pair, inputs):
+        """sampling_blending: the first t//2 frames are re-seeded from the
+        noised x0's frames t//2+1: each step (sampling.py:235-268)."""
+        import sgm.modules.diffusionmodules.sampling as ref_sampling
+
+        from ccedit_tpu.diffusion.discretization import LegacyDDPMDiscretization
+        from ccedit_tpu.diffusion.samplers import EulerAncestralSampler
+
+        torch_denoiser, net, params = tv2v_pair
+        rng = np.random.default_rng(888)
+        x0_clean = rng.standard_normal(inputs["x_init"].shape).astype(np.float32)
+        pre_noise = rng.standard_normal(
+            (N_STEPS,) + inputs["x_init"].shape).astype(np.float32)
+
+        sampler = ref_sampling.EulerAncestralSampler(
+            discretization_config=LEGACY, num_steps=N_STEPS,
+            guider_config=GUIDER_TV2V, eta=1.0, s_noise=1.0,
+            verbose=False, device="cpu",
+        )
+        loop_q = [torch.from_numpy(n) for n in inputs["loop_noise"][:N_STEPS]]
+        sampler.noise_sampler = lambda x: loop_q.pop(0)
+        pre_q = [torch.from_numpy(n) for n in pre_noise]
+        cond, uc = self._torch_cond(inputs)
+        orig_randn_like = torch.randn_like
+        try:
+            torch.randn_like = lambda x: pre_q.pop(0)
+            with torch.no_grad():
+                ref = _to_np(sampler.sampling_blending(
+                    torch_denoiser, torch.from_numpy(inputs["x_init"]).clone(),
+                    cond, torch.from_numpy(x0_clean), uc=uc,
+                ))
+        finally:
+            torch.randn_like = orig_randn_like
+        assert not loop_q and not pre_q
+
+        import jax
+        import jax.numpy as jnp
+
+        engine = _make_engine(
+            net,
+            EulerAncestralSampler(
+                discretization=LegacyDDPMDiscretization(), num_steps=N_STEPS,
+                eta=1.0, s_noise=1.0,
+            ),
+        )
+        jc, ju = self._jax_cond(inputs)
+        denoise_fn = engine.make_denoise_fn({"network": params}, jc, ju)
+        init = inputs["x_init"].transpose(0, 2, 3, 4, 1)
+        tr6 = lambda a: a.transpose(0, 1, 3, 4, 5, 2)
+        out = engine.sampler.sampling_blending(
+            denoise_fn, jnp.asarray(init), jax.random.PRNGKey(0),
+            jnp.asarray(x0_clean.transpose(0, 2, 3, 4, 1)),
+            num_steps=N_STEPS,
+            noise_override={
+                "loop": tr6(inputs["loop_noise"][:N_STEPS]),
+                "pre": tr6(pre_noise),
+            },
+        )
+        ours = np.asarray(out).transpose(0, 4, 1, 2, 3)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+    EDM = {
+        "target": "sgm.modules.diffusionmodules.discretizer.EDMDiscretization",
+        "params": {"sigma_min": 0.1, "sigma_max": 10.0, "rho": 7.0},
+    }
+
+    def _edm_ours(self):
+        from ccedit_tpu.diffusion.discretization import EDMDiscretization
+
+        return EDMDiscretization(sigma_min=0.1, sigma_max=10.0, rho=7.0)
+
+    def test_heun_edm_chain(self, tv2v_pair, inputs):
+        """Heun's 2nd-order correction (skipped at sigma_next==0) on the EDM
+        rho-schedule — also pins DiscreteDenoiser's sigma->idx quantization
+        of NON-legacy sigmas.  Deterministic: s_churn=0 (the CLI default)."""
+        from ccedit_tpu.diffusion.samplers import HeunEDMSampler
+
+        torch_denoiser, net, params = tv2v_pair
+        ref = _run_torch_chain(
+            torch_denoiser, "HeunEDMSampler", inputs, N_STEPS,
+            extra_kwargs=dict(discretization_config=self.EDM),
+            inject_loop_noise=False,
+        )
+        ours = _run_jax_chain(
+            net, params,
+            HeunEDMSampler(discretization=self._edm_ours(), num_steps=N_STEPS),
+            inputs, N_STEPS, inject_loop_noise=False,
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+    def test_euler_edm_chain(self, tv2v_pair, inputs):
+        from ccedit_tpu.diffusion.samplers import EulerEDMSampler
+
+        torch_denoiser, net, params = tv2v_pair
+        ref = _run_torch_chain(
+            torch_denoiser, "EulerEDMSampler", inputs, N_STEPS,
+            extra_kwargs=dict(discretization_config=self.EDM),
+            inject_loop_noise=False,
+        )
+        ours = _run_jax_chain(
+            net, params,
+            EulerEDMSampler(discretization=self._edm_ours(), num_steps=N_STEPS),
+            inputs, N_STEPS, inject_loop_noise=False,
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+    def test_lms_chain(self, tv2v_pair, inputs):
+        """Linear multistep (order 4): the reference integrates the Lagrange
+        basis numerically (scipy quad); ours integrates it exactly — values
+        must agree to quad tolerance, through the full chain."""
+        from ccedit_tpu.diffusion.discretization import LegacyDDPMDiscretization
+        from ccedit_tpu.diffusion.samplers import LinearMultistepSampler
+
+        torch_denoiser, net, params = tv2v_pair
+        ref = _run_torch_chain(
+            torch_denoiser, "LinearMultistepSampler", inputs, N_STEPS,
+            extra_kwargs=dict(order=4), inject_loop_noise=False,
+        )
+        ours = _run_jax_chain(
+            net, params,
+            LinearMultistepSampler(
+                discretization=LegacyDDPMDiscretization(), num_steps=N_STEPS,
+                order=4,
+            ),
+            inputs, N_STEPS, inject_loop_noise=False,
+        )
         np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
