@@ -39,8 +39,15 @@ assert jax.devices()[0].platform == "cpu", (
 )
 
 jax.config.update("jax_default_matmul_precision", "highest")
-# single-core container: persistent compile cache is a 10x on warm test runs
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cc")
+# single-core container: persistent compile cache is a 10x on warm test runs.
+# The dir is keyed by the host CPU's feature fingerprint: XLA:CPU AOT cache
+# entries abort (SIGILL-class 'Fatal Python error') when loaded on a host
+# with different features, and a cache volume can outlive a container
+# migration between heterogeneous hosts (see utils/jax_cache.py).
+from ccedit_tpu.utils.jax_cache import cpu_fingerprint  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/root/.cache/jax_cc_cpu_{cpu_fingerprint()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
 import pytest  # noqa: E402

@@ -71,8 +71,14 @@ class TestTrainerSmoke:
     def test_resume_restores_ema_shadow(self, tmp_path):
         """The EMA shadow is training state: a resume must restore the saved
         averaged weights, NOT re-seed from fresh-init params (the reference
-        keeps LitEma buffers in the torch checkpoint, sgm/modules/ema.py)."""
-        assert len(jax.devices()) == 8
+        keeps LitEma buffers in the torch checkpoint, sgm/modules/ema.py).
+
+        Single-device plan ON PURPOSE: checkpoint round-trip is
+        mesh-independent (the 8-device mesh is covered by the resume test
+        above), and the EMA ops push the per-device pre-collective segment
+        past XLA:CPU's hard 40 s cross-module rendezvous window on a 1-core
+        host (7/8 threads arrive -> Fatal abort; observed on this round's
+        migrated container)."""
         engine = make_tiny_engine(freeze="none")
         engine.use_ema = True
         ds = SyntheticVideoDataset(n_items=16, num_frames=2, size_hw=(16, 16))
@@ -89,7 +95,7 @@ class TestTrainerSmoke:
                         "control_hint": hint}
 
         loader = DataLoader(HintFix(), batch_size=8, seed=0)
-        plan = make_mesh(jax.devices(), data=8, model=1)
+        plan = make_mesh(jax.devices()[:1], data=1, model=1)
         cfg = dict(logdir=str(tmp_path / "run"), max_steps=2, ckpt_every=2,
                    log_every=1, base_lr=1e-1, scale_lr=False, seed=0)
         trainer = Trainer(engine, TrainerConfig(**cfg), plan=plan)
@@ -153,7 +159,10 @@ class TestLrSchedules:
                 }
 
         loader = DataLoader(HintFix(), batch_size=8, seed=0)
-        plan = make_mesh(jax.devices(), data=8, model=1)
+        # single-device: the tabulated-schedule ops grow the per-device
+        # pre-collective segment past XLA:CPU's 40 s cross-module rendezvous
+        # window on a 1-core host (see test_resume_restores_ema_shadow)
+        plan = make_mesh(jax.devices()[:1], data=1, model=1)
         sched = LambdaLinearScheduler(
             warm_up_steps=[2], f_min=[1.0], f_max=[1.0], f_start=[1e-6],
             cycle_lengths=[100],
