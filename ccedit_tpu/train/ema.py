@@ -23,8 +23,13 @@ class EmaState:
 
     @classmethod
     def create(cls, params, decay: float = 0.9999, use_num_updates: bool = True):
+        # copy, don't alias: the shadow seeds from the live param buffers, and
+        # an aliased leaf makes jit donation of the TrainState donate the same
+        # buffer twice (INVALID_ARGUMENT on the single-device path, where no
+        # device_put re-materializes the tree)
         return cls(
-            shadow=jax.tree_util.tree_map(jnp.asarray, params),
+            shadow=jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), params),
             num_updates=jnp.asarray(0, dtype=jnp.int32),
             decay=decay,
             use_num_updates=use_num_updates,

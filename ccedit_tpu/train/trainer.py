@@ -132,19 +132,25 @@ class Trainer:
             return state
         import orbax.checkpoint as ocp
 
-        meta = mngr.item_metadata(latest)
-        disk_has_ema = False
-        try:
-            disk_has_ema = "ema_shadow" in meta
-        except TypeError:  # metadata objects without __contains__
-            disk_has_ema = hasattr(meta, "ema_shadow")
-        target = {"params": state.params, "opt_state": state.opt_state,
-                  "step": state.step}
-        want_ema = state.ema is not None and disk_has_ema
+        base_target = {"params": state.params, "opt_state": state.opt_state,
+                       "step": state.step}
+        want_ema = state.ema is not None
         if want_ema:
-            target["ema_shadow"] = state.ema.shadow
-            target["ema_num_updates"] = state.ema.num_updates
-        restored = mngr.restore(latest, args=ocp.args.PyTreeRestore(target))
+            # first try restoring WITH the EMA leaves; a pre-EMA checkpoint
+            # fails the structure match (orbax ValueError) and we fall back.
+            # (Metadata introspection is orbax-version-fragile: item_metadata
+            # containment checks returned False against checkpoints that DO
+            # hold the shadow.)
+            target = dict(base_target, ema_shadow=state.ema.shadow,
+                          ema_num_updates=state.ema.num_updates)
+            try:
+                restored = mngr.restore(
+                    latest, args=ocp.args.PyTreeRestore(target))
+            except ValueError:
+                want_ema = False
+        if not want_ema:
+            restored = mngr.restore(
+                latest, args=ocp.args.PyTreeRestore(base_target))
         if state.ema is None:
             ema = None
         elif want_ema:
@@ -157,7 +163,11 @@ class Trainer:
             # restored step so the decay schedule doesn't restart
             ema = dataclasses.replace(
                 state.ema,
-                shadow=self.engine.ema_subset(restored["params"]["network"]),
+                shadow=jax.tree_util.tree_map(
+                    # copy, don't alias the restored params (aliased leaves
+                    # break jit donation of the TrainState — see EmaState)
+                    lambda x: jnp.array(x, copy=True),
+                    self.engine.ema_subset(restored["params"]["network"])),
                 num_updates=jnp.asarray(restored["step"], jnp.int32))
             print("[resume] checkpoint has no EMA shadow; re-seeded from "
                   "restored params")

@@ -136,7 +136,8 @@ class TestEngine:
             def get_sigmas(self, n=None):
                 return disc(4, do_append_zero=True)
 
-            def __call__(self, denoise_fn, x, rng, num_steps=None):
+            def __call__(self, denoise_fn, x, rng, num_steps=None,
+                         noise_override=None):
                 captured["x"] = x
                 return x
 
@@ -178,7 +179,8 @@ class TestEngine:
             def get_sigmas(self, n=None):
                 return old_sampler.get_sigmas(n)
 
-            def __call__(self, denoise_fn, x, rng, num_steps=None):
+            def __call__(self, denoise_fn, x, rng, num_steps=None,
+                         noise_override=None):
                 captured["x"] = x
                 return x
 
@@ -332,3 +334,16 @@ class TestEma:
         # first update: decay = min(0.9999, 2/11);
         # shadow = 0 - (1-decay)*(0-1) = 1 - 2/11 = 9/11
         np.testing.assert_allclose(np.asarray(ema.shadow["w"]), 9.0 / 11.0, rtol=1e-6)
+
+    def test_shadow_never_aliases_params(self):
+        """EmaState.create must COPY the seed params: an aliased leaf makes
+        jit donation of the TrainState donate the same buffer twice
+        (INVALID_ARGUMENT 'Attempt to donate the same buffer twice' on the
+        single-device path, where no device_put re-materializes the tree)."""
+        from ccedit_tpu.train.ema import EmaState
+
+        p0 = {"w": jnp.arange(3.0), "b": {"x": jnp.ones((2, 2))}}
+        ema = EmaState.create(p0)
+        for pl, sl in zip(jax.tree_util.tree_leaves(p0),
+                          jax.tree_util.tree_leaves(ema.shadow)):
+            assert pl.unsafe_buffer_pointer() != sl.unsafe_buffer_pointer()
