@@ -224,8 +224,16 @@ class BaseSampler:
     def _reject_noise_override(noise_override):
         if noise_override is not None:
             raise NotImplementedError(
-                "noise_override is only supported by the ancestral samplers "
-                "(the only ones that draw loop noise on CCEdit's paths)")
+                "noise_override is only supported by samplers that draw loop "
+                "noise (the ancestral family, and the EDM family at s_churn>0)")
+
+    def _check_noise_override(self, noise_override, n_steps, x):
+        noise = jnp.asarray(noise_override, dtype=x.dtype)
+        if noise.shape != (n_steps,) + tuple(x.shape):
+            raise ValueError(
+                f"noise_override shape {noise.shape} != "
+                f"{(n_steps,) + tuple(x.shape)} (one row per sampler step)")
+        return noise
 
 
 def _scan_steps(body, x, rng, step_consts, pre_fn, sigma_for_pre):
@@ -276,18 +284,63 @@ class EulerEDMSampler(BaseSampler):
 
     def _run(self, denoise_fn, x, rng, sigmas, start_step, pre_fn,
              noise_override=None):
-        self._reject_noise_override(noise_override)
         gammas = self._gammas(sigmas)
         idx = np.arange(start_step, len(sigmas) - 1)
         sig, nxt, gam = sigmas[idx], sigmas[idx + 1], gammas[idx]
         sig_hat = sig * (gam + 1.0)
         churn_std = np.sqrt(np.maximum(sig_hat**2 - sig**2, 0.0)) * self.s_noise
 
+        churn_rows = pre_rows = None
+        if noise_override is not None:
+            # Parity-harness path (mirrors the ancestral samplers).  The
+            # reference draws churn eps ONLY when gamma > 0 (sampling.py:
+            # 101-104), so we require churn active at every executed step —
+            # one injected row per step then aligns 1:1 with the torch
+            # queue.  Dict form {"loop": churn rows, "pre": img_orig rows}
+            # additionally injects the inpaint/blend pre-step draw, which
+            # the reference makes BEFORE sampler_step (sampling.py:138-165).
+            if not np.all(gam > 0.0):
+                raise NotImplementedError(
+                    "noise_override on the EDM samplers requires gamma > 0 at "
+                    "every executed step (s_churn > 0 with s_tmin/s_tmax "
+                    "covering the schedule) so the injected rows align with "
+                    "the reference's per-step draws")
+            if isinstance(noise_override, dict):
+                assert pre_fn is not None, "dict noise_override needs a pre-step hook"
+                pre_rows = self._check_noise_override(
+                    noise_override["pre"], len(sig), x)
+                churn_rows = self._check_noise_override(
+                    noise_override["loop"], len(sig), x)
+            else:
+                assert pre_fn is None, "array noise_override + pre-step hooks unsupported"
+                churn_rows = self._check_noise_override(noise_override, len(sig), x)
+
         heun = self._heun
         # Heun's correction is skipped when next_sigma == 0 (sampling.py:344-356)
         use_corr = nxt > 1e-14 if heun else np.zeros_like(nxt, dtype=bool)
 
         if not heun:
+            if churn_rows is not None:
+                consts = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a, dtype=jnp.float32),
+                    (sig_hat, nxt, churn_std, sig))
+
+                def inj_body(x, per):
+                    if pre_rows is not None:
+                        (sigma_hat, next_sigma, churn, sig_i), eps_i, pre_i = per
+                        x = pre_fn(x, sig_i, None, noise=pre_i)
+                    else:
+                        (sigma_hat, next_sigma, churn, sig_i), eps_i = per
+                    x = x + eps_i * churn
+                    denoised = denoise_fn(x, sigma_hat)
+                    d = _to_d(x, sigma_hat, denoised)
+                    return x + (next_sigma - sigma_hat) * d, None
+
+                xs = ((consts, churn_rows, pre_rows) if pre_rows is not None
+                      else (consts, churn_rows))
+                x, _ = jax.lax.scan(inj_body, x, xs)
+                return x
+
             def body(x, consts, rng_i):
                 sigma_hat, next_sigma, churn = consts
                 eps = jax.random.normal(rng_i, x.shape, dtype=x.dtype)
@@ -305,7 +358,7 @@ class EulerEDMSampler(BaseSampler):
         rows = []
         for i in range(len(idx)):
             base = dict(sigma_hat=sig_hat[i], next_sigma=nxt[i], churn=churn_std[i],
-                        sig_pre=sig[i])
+                        sig_pre=sig[i], step=i)
             if use_corr[i]:
                 rows.append(dict(base, q=sig_hat[i], phase=0, do_pre=1.0))
                 rows.append(dict(base, q=nxt[i], phase=1, do_pre=0.0))
@@ -328,16 +381,37 @@ class EulerEDMSampler(BaseSampler):
             ),
         )
 
+        inject = churn_rows is not None
+        if inject:
+            # Expand per-STEP injected rows to per-half-step rows; phase-1
+            # rows carry their step's row but consume nothing (churn is
+            # masked by p0+p2, pre by do_pre) — consumption stays one draw
+            # per step, matching the reference.
+            step_of_row = np.asarray([r["step"] for r in rows])
+            row_eps = churn_rows[step_of_row]
+            row_pre = pre_rows[step_of_row] if pre_rows is not None else None
+
         def scan_body(carry, per):
             x_base, x_query, d_saved, rng = carry
-            (q, p0, p1, p2, sigma_hat, next_sigma, churn, do_pre, sig_pre) = per
-            rng, k_pre, k_noise = jax.random.split(rng, 3)
+            if inject:
+                if row_pre is not None:
+                    scalars, eps, pre_i = per
+                else:
+                    scalars, eps = per
+                    pre_i = None
+                k_pre = k_noise = None
+            else:
+                scalars = per
+                rng, k_pre, k_noise = jax.random.split(rng, 3)
+                eps = pre_i = None
+            (q, p0, p1, p2, sigma_hat, next_sigma, churn, do_pre, sig_pre) = scalars
             if pre_fn is not None:
-                x_pre = pre_fn(x_query, sig_pre, k_pre)
+                x_pre = pre_fn(x_query, sig_pre, k_pre, noise=pre_i)
                 x_query = jnp.where(do_pre > 0, x_pre, x_query)
                 x_base = jnp.where(do_pre > 0, x_pre, x_base)
             # churn noise only on fresh-step rows (phase 0/2)
-            eps = jax.random.normal(k_noise, x_query.shape, dtype=x_query.dtype)
+            if eps is None:
+                eps = jax.random.normal(k_noise, x_query.shape, dtype=x_query.dtype)
             churn_add = eps * churn * (p0 + p2)
             x_query = x_query + churn_add
             x_base = x_base + churn_add
@@ -354,8 +428,13 @@ class EulerEDMSampler(BaseSampler):
             new_d = p0 * d + (p1 + p2) * d_saved  # keep d from the base eval
             return (new_base, new_query, new_d, rng), None
 
+        if inject:
+            xs = ((consts, row_eps, row_pre) if row_pre is not None
+                  else (consts, row_eps))
+        else:
+            xs = consts
         (x_base, x_query, _, rng), _ = jax.lax.scan(
-            scan_body, (x, x, jnp.zeros_like(x), rng), consts
+            scan_body, (x, x, jnp.zeros_like(x), rng), xs
         )
         return x_query
 
@@ -384,15 +463,6 @@ class AncestralSampler(BaseSampler):
         if noise is None:
             noise = jax.random.normal(rng_i, x.shape, dtype=x.dtype)
         return jnp.where(next_sigma > 0.0, x + noise * (self.s_noise * sigma_up), x)
-
-    def _check_noise_override(self, noise_override, n_steps, x):
-        noise = jnp.asarray(noise_override, dtype=x.dtype)
-        if noise.shape != (n_steps,) + tuple(x.shape):
-            raise ValueError(
-                f"noise_override shape {noise.shape} != "
-                f"{(n_steps,) + tuple(x.shape)} (one row per sampler step)")
-        return noise
-
 
 @dataclasses.dataclass
 class EulerAncestralSampler(AncestralSampler):

@@ -768,6 +768,123 @@ class TestSamplerModeParity:
         )
         np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
 
+    S_CHURN, S_NOISE = 4.0, 1.1  # gamma = min(4/8, sqrt2-1) > 0 at EVERY step
+
+    def _run_torch_edm_churn(self, torch_denoiser, inputs, sampler_cls_name,
+                             pre_noise=None, inpaint=None):
+        """Run a reference EDM sampler at s_churn>0 with torch.randn_like
+        patched to a queue.  Per step the reference draws the inpaint/blend
+        img_orig noise first (sampling.py:138-165), then the churn eps inside
+        sampler_step (sampling.py:101-104); Heun's correction draws nothing."""
+        import sgm.modules.diffusionmodules.sampling as ref_sampling
+
+        cls = getattr(ref_sampling, sampler_cls_name)
+        sampler = cls(
+            discretization_config=self.EDM, num_steps=N_STEPS,
+            guider_config=GUIDER_TV2V, s_churn=self.S_CHURN,
+            s_noise=self.S_NOISE, verbose=False, device="cpu",
+        )
+        queue = []
+        for i in range(N_STEPS):
+            if pre_noise is not None:
+                queue.append(torch.from_numpy(pre_noise[i]))
+            queue.append(torch.from_numpy(inputs["loop_noise"][i]))
+        cond, uc = self._torch_cond(inputs)
+        orig_randn_like = torch.randn_like
+        try:
+            torch.randn_like = lambda x: queue.pop(0)
+            with torch.no_grad():
+                x = torch.from_numpy(inputs["x_init"]).clone()
+                if inpaint is not None:
+                    x0, mask = inpaint
+                    ref = sampler.sample_inpainting(
+                        torch_denoiser, x, cond, torch.from_numpy(x0),
+                        torch.from_numpy(mask), uc=uc)
+                else:
+                    ref = sampler(torch_denoiser, x, cond, uc)
+        finally:
+            torch.randn_like = orig_randn_like
+        assert not queue, f"{len(queue)} injected noise rows unconsumed"
+        return _to_np(ref)
+
+    def test_euler_edm_churn_chain(self, tv2v_pair, inputs):
+        """The stochastic churn branch (sampling.py:88-134): eps = randn *
+        s_noise scaled by sqrt(sigma_hat^2 - sigma^2) added BEFORE the Euler
+        step at sigma_hat = sigma*(gamma+1) — the one sampler branch the
+        deterministic (s_churn=0) chains above cannot reach."""
+        from ccedit_tpu.diffusion.samplers import EulerEDMSampler
+
+        torch_denoiser, net, params = tv2v_pair
+        ref = self._run_torch_edm_churn(torch_denoiser, inputs, "EulerEDMSampler")
+        ours = _run_jax_chain(
+            net, params,
+            EulerEDMSampler(discretization=self._edm_ours(), num_steps=N_STEPS,
+                            s_churn=self.S_CHURN, s_noise=self.S_NOISE),
+            inputs, N_STEPS,
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+    def test_heun_edm_churn_chain(self, tv2v_pair, inputs):
+        """Churn + Heun's correction: the correction half-step re-uses the
+        churned sigma_hat state and draws NO further noise — one draw per
+        step despite two network evals."""
+        from ccedit_tpu.diffusion.samplers import HeunEDMSampler
+
+        torch_denoiser, net, params = tv2v_pair
+        ref = self._run_torch_edm_churn(torch_denoiser, inputs, "HeunEDMSampler")
+        ours = _run_jax_chain(
+            net, params,
+            HeunEDMSampler(discretization=self._edm_ours(), num_steps=N_STEPS,
+                           s_churn=self.S_CHURN, s_noise=self.S_NOISE),
+            inputs, N_STEPS,
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+    @pytest.mark.parametrize("sampler_name", ["EulerEDMSampler", "HeunEDMSampler"])
+    def test_edm_inpainting_churn_chain(self, tv2v_pair, inputs, sampler_name):
+        """EDM sample_inpainting at s_churn>0 (sampling.py:138-165): per step
+        the img_orig blend draw comes first, the churn eps second — both
+        streams injected via the dict noise_override form."""
+        import jax
+        import jax.numpy as jnp
+
+        from ccedit_tpu.diffusion import samplers as our_samplers
+
+        torch_denoiser, net, params = tv2v_pair
+        rng = np.random.default_rng(999)
+        x0_clean = rng.standard_normal(inputs["x_init"].shape).astype(np.float32)
+        pre_noise = rng.standard_normal(
+            (N_STEPS,) + inputs["x_init"].shape).astype(np.float32)
+        mask_bcthw = np.ones((1, 1, 1, 8, 8), dtype=np.float32)
+        mask_bcthw[..., :4] = 0.0
+
+        ref = self._run_torch_edm_churn(
+            torch_denoiser, inputs, sampler_name,
+            pre_noise=pre_noise, inpaint=(x0_clean, mask_bcthw))
+
+        cls = getattr(our_samplers, sampler_name)
+        engine = _make_engine(
+            net,
+            cls(discretization=self._edm_ours(), num_steps=N_STEPS,
+                s_churn=self.S_CHURN, s_noise=self.S_NOISE),
+        )
+        jc, ju = self._jax_cond(inputs)
+        init = inputs["x_init"].transpose(0, 2, 3, 4, 1)
+        tr6 = lambda a: a.transpose(0, 1, 3, 4, 5, 2)
+        out = engine.sample(
+            {"network": params}, jc, ju, shape=init.shape,
+            rng=jax.random.PRNGKey(0), num_steps=N_STEPS,
+            init_noise=init,
+            inpaint_x0=jnp.asarray(x0_clean.transpose(0, 2, 3, 4, 1)),
+            inpaint_mask=jnp.asarray(mask_bcthw.transpose(0, 2, 3, 4, 1)),
+            loop_noise={
+                "loop": tr6(inputs["loop_noise"][:N_STEPS]),
+                "pre": tr6(pre_noise),
+            },
+        )
+        ours = np.asarray(out).transpose(0, 4, 1, 2, 3)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
     def test_lms_chain(self, tv2v_pair, inputs):
         """Linear multistep (order 4): the reference integrates the Lagrange
         basis numerically (scipy quad); ours integrates it exactly — values
