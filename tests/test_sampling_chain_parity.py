@@ -328,6 +328,113 @@ class TestSamplingChainParity:
         np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
 
 
+class TestImagePipelineChainParity:
+    """The 2D image pipeline (cli.sampling_image / the reference's txt2img
+    path): plain OpenAIWrapper — including its channel-concat branch
+    (wrappers.py:28-45) — + plain VanillaCFG / IdentityGuider +
+    DiscreteDenoiser + DPM++2S on 4-D latents.  The video chains above never
+    touch this engine assembly."""
+
+    N_IMG_STEPS = 6
+
+    @pytest.fixture(scope="class")
+    def image_pair(self, sgm):
+        from sgm.modules.diffusionmodules.openaimodel import UNetModel as TorchUNet
+        from sgm.modules.diffusionmodules.wrappers import OpenAIWrapper
+
+        from ccedit_tpu.modules.controlnet import CCEditNetwork
+        from ccedit_tpu.modules.unet import UNetModel
+
+        kw = {**TINY, "in_channels": 6}  # 4 latent + 2 concat channels
+        tm = TorchUNet(use_checkpoint=False, use_spatial_transformer=True,
+                       legacy=False, **kw).eval()
+        randomize_state_dict(tm, seed=60)
+        wrapper = OpenAIWrapper(tm)
+
+        net = CCEditNetwork(unet=UNetModel(
+            unet_type="2d",
+            **{**kw, "attention_resolutions": (2, 1), "channel_mult": (1, 2)}))
+        params = {"unet": convert_unet(_sd_np(tm), prefix="", video=False,
+                                       **CONV_KW)}
+        return _make_torch_denoiser(sgm, wrapper), net, params
+
+    @pytest.fixture(scope="class")
+    def image_inputs(self):
+        rng = np.random.default_rng(61)
+        return dict(
+            x_init=rng.standard_normal((2, 4, 8, 8)).astype(np.float32),
+            loop=rng.standard_normal(
+                (self.N_IMG_STEPS, 2, 4, 8, 8)).astype(np.float32),
+            ctx_c=rng.standard_normal((2, 7, 16)).astype(np.float32),
+            ctx_u=rng.standard_normal((2, 7, 16)).astype(np.float32),
+            concat=rng.standard_normal((2, 2, 8, 8)).astype(np.float32),
+        )
+
+    def _ref_chain(self, torch_denoiser, ii, guider_config, uncond):
+        import sgm.modules.diffusionmodules.sampling as ref_sampling
+
+        sampler = ref_sampling.DPMPP2SAncestralSampler(
+            discretization_config=LEGACY, num_steps=self.N_IMG_STEPS,
+            guider_config=guider_config, eta=1.0, s_noise=1.0,
+            verbose=False, device="cpu")
+        queue = [torch.from_numpy(n) for n in ii["loop"]]
+        sampler.noise_sampler = lambda x: queue.pop(0)
+        cond = {"crossattn": torch.from_numpy(ii["ctx_c"]),
+                "concat": torch.from_numpy(ii["concat"])}
+        uc = ({"crossattn": torch.from_numpy(ii["ctx_u"]),
+               "concat": torch.from_numpy(ii["concat"]).clone()}
+              if uncond else None)
+        with torch.no_grad():
+            ref = _to_np(sampler(
+                torch_denoiser, torch.from_numpy(ii["x_init"]).clone(),
+                cond, uc))
+        assert not queue
+        return ref
+
+    def _our_chain(self, net, params, ii, uncond):
+        import jax
+        import jax.numpy as jnp
+
+        from ccedit_tpu.diffusion.discretization import LegacyDDPMDiscretization
+        from ccedit_tpu.diffusion.samplers import DPMPP2SAncestralSampler
+
+        engine = _make_engine(net, DPMPP2SAncestralSampler(
+            discretization=LegacyDDPMDiscretization(),
+            num_steps=self.N_IMG_STEPS, eta=1.0, s_noise=1.0))
+        jc = {"crossattn": jnp.asarray(ii["ctx_c"]),
+              "concat": jnp.asarray(ii["concat"].transpose(0, 2, 3, 1))}
+        ju = ({"crossattn": jnp.asarray(ii["ctx_u"]),
+               "concat": jnp.asarray(ii["concat"].transpose(0, 2, 3, 1))}
+              if uncond else None)
+        init = ii["x_init"].transpose(0, 2, 3, 1)
+        out = engine.sample(
+            {"network": params}, jc, ju, shape=init.shape,
+            rng=jax.random.PRNGKey(0), num_steps=self.N_IMG_STEPS,
+            init_noise=init,
+            loop_noise=ii["loop"].transpose(0, 1, 3, 4, 2))
+        return np.asarray(out).transpose(0, 3, 1, 2)
+
+    def test_image_concat_cfg_chain(self, image_pair, image_inputs):
+        """txt2img with channel-concat conditioning under plain VanillaCFG
+        (guiders.py:8-40) — B=2 also exercises the CFG split at batch > 1."""
+        torch_denoiser, net, params = image_pair
+        ref = self._ref_chain(
+            torch_denoiser, image_inputs,
+            {"target": "sgm.modules.diffusionmodules.guiders.VanillaCFG",
+             "params": {"scale": CFG_SCALE}},
+            uncond=True)
+        ours = self._our_chain(net, params, image_inputs, uncond=True)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+    def test_image_identity_guider_chain(self, image_pair, image_inputs):
+        """uc=None -> IdentityGuider: single forward per step, no batch
+        doubling (guiders.py:43-53; the reference defaults uc to cond)."""
+        torch_denoiser, net, params = image_pair
+        ref = self._ref_chain(torch_denoiser, image_inputs, None, uncond=False)
+        ours = self._our_chain(net, params, image_inputs, uncond=False)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+
 def _install_streamlit_stub():
     """scripts/demo/streamlit_helpers.py (owner of the reference's
     Img2ImgDiscretizationWrapper) imports streamlit + imwatermark and builds a
