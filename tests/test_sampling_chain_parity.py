@@ -140,6 +140,45 @@ def tvi2v_pair(sgm):
 
 
 @pytest.fixture(scope="module")
+def interp_pair(sgm):
+    """Reference Interpolate wrapper (controlnet_img on first+last frames) +
+    our converted CCEditNetwork(interpolate=True)."""
+    from sgm.modules.diffusionmodules.wrappers import (
+        OpenAIWrapperControlLDM3DTV2VInterpolate,
+    )
+
+    from ccedit_tpu.modules.controlnet import CCEditNetwork, ControlNet2D
+    from ccedit_tpu.modules.unet import UNetModel
+
+    tm = _torch_tv2v(sgm, interpolate=True)
+    randomize_state_dict(tm, seed=52)
+    wrapper = OpenAIWrapperControlLDM3DTV2VInterpolate(tm)
+
+    sd = _sd_np(tm)
+    unet_sd = {k: v for k, v in sd.items() if not k.startswith("controlnet")}
+    tiny_kw = {**TINY, "attention_resolutions": (2, 1), "channel_mult": (1, 2)}
+    net = CCEditNetwork(
+        unet=UNetModel(unet_type="pseudo-3d", disable_temporal_text_ca=True,
+                       **tiny_kw),
+        controlnet=ControlNet2D(hint_channels=3, **tiny_kw),
+        controlnet_img=ControlNet2D(
+            hint_channels=4, input_hint_identity=True, no_add_x=True,
+            disable_text_ca=True, **tiny_kw,
+        ),
+        interpolate=True,
+    )
+    params = {
+        "unet": convert_unet(unet_sd, prefix="", video=True, **CONV_KW),
+        "controlnet": convert_controlnet(sd, prefix="controlnet.", **CONV_KW),
+        "controlnet_img": convert_controlnet(
+            sd, prefix="controlnet_img.", identity_hint=True,
+            disable_text_ca=True, **CONV_KW,
+        ),
+    }
+    return _make_torch_denoiser(sgm, wrapper), net, params
+
+
+@pytest.fixture(scope="module")
 def inputs():
     rng = np.random.default_rng(123)
     return dict(
@@ -149,12 +188,13 @@ def inputs():
         ctx_u=rng.standard_normal((1, 7, 16)).astype(np.float32),
         hint=(rng.random((1, 3, 3, 64, 64)) * 2 - 1).astype(np.float32),
         cond_feat=rng.standard_normal((1, 4, 8, 8)).astype(np.float32),
+        ifl=rng.standard_normal((1, 4, 2, 8, 8)).astype(np.float32),
     )
 
 
 def _run_torch_chain(torch_denoiser, sampler_cls_name, inputs, num_steps,
                      extra_kwargs=None, inject_loop_noise=True,
-                     with_cond_feat=False):
+                     with_cond_feat=False, with_interp=False):
     import sgm.modules.diffusionmodules.sampling as ref_sampling
 
     cls = getattr(ref_sampling, sampler_cls_name)
@@ -184,6 +224,9 @@ def _run_torch_chain(torch_denoiser, sampler_cls_name, inputs, num_steps,
         # (sampling_tv2v_ref.py:377-388)
         cond["cond_feat"] = torch.from_numpy(inputs["cond_feat"])
         uc["cond_feat"] = torch.from_numpy(inputs["cond_feat"]).clone()
+    if with_interp:
+        cond["interpolate_first_last"] = torch.from_numpy(inputs["ifl"])
+        uc["interpolate_first_last"] = torch.from_numpy(inputs["ifl"]).clone()
     with torch.no_grad():
         out = sampler(
             torch_denoiser, torch.from_numpy(inputs["x_init"]).clone(), cond, uc
@@ -209,7 +252,7 @@ def _make_engine(net, sampler):
 
 
 def _run_jax_chain(net, params, sampler, inputs, num_steps, inject_loop_noise=True,
-                   with_cond_feat=False):
+                   with_cond_feat=False, with_interp=False):
     import jax
     import jax.numpy as jnp
 
@@ -226,6 +269,10 @@ def _run_jax_chain(net, params, sampler, inputs, num_steps, inject_loop_noise=Tr
         cf = jnp.asarray(inputs["cond_feat"].transpose(0, 2, 3, 1))
         cond["cond_feat"] = cf
         uc["cond_feat"] = cf
+    if with_interp:
+        ifl = jnp.asarray(inputs["ifl"].transpose(0, 2, 3, 4, 1))
+        cond["interpolate_first_last"] = ifl
+        uc["interpolate_first_last"] = ifl
     init = inputs["x_init"].transpose(0, 2, 3, 4, 1)  # BCTHW -> BTHWC
     loop = (
         inputs["loop_noise"][:num_steps].transpose(0, 1, 3, 4, 5, 2)
@@ -307,6 +354,31 @@ class TestSamplingChainParity:
             inputs, steps, with_cond_feat=True,
         )
         np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+    def test_dpmpp2s_interpolate_chain(self, interp_pair, inputs):
+        """Frame-interpolation variant through the full loop: VanillaCFGTV2V
+        doubles the interpolate_first_last key (guiders.py:56-67) and the
+        wrapper re-runs controlnet_img on frames 0/-1 every NFE."""
+        from ccedit_tpu.diffusion.discretization import LegacyDDPMDiscretization
+        from ccedit_tpu.diffusion.samplers import DPMPP2SAncestralSampler
+
+        torch_denoiser, net, params = interp_pair
+        steps = 5
+        ref = _run_torch_chain(
+            torch_denoiser, "DPMPP2SAncestralSampler", inputs, steps,
+            extra_kwargs=dict(eta=1.0, s_noise=1.0), with_interp=True,
+        )
+        ours = _run_jax_chain(
+            net, params,
+            DPMPP2SAncestralSampler(
+                discretization=LegacyDDPMDiscretization(), num_steps=steps,
+                eta=1.0, s_noise=1.0,
+            ),
+            inputs, steps, with_interp=True,
+        )
+        # atol matches the forward-parity tests (5e-4): the interpolate taps
+        # add two extra float32 injection sites per block, per step
+        np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
 
     def test_dpmpp2m_chain(self, tv2v_pair, inputs):
         """DPM++ 2M draws no loop noise; only the init noise is injected."""

@@ -98,8 +98,11 @@ def _torch_cn_config(hint_channels=3, **extra):
     }
 
 
-def _torch_tv2v(sgm, cfca=False, with_img=False):
-    from sgm.modules.diffusionmodules.controlmodel import ControlledUNetModel3DTV2V
+def _torch_tv2v(sgm, cfca=False, with_img=False, interpolate=False):
+    from sgm.modules.diffusionmodules.controlmodel import (
+        ControlledUNetModel3DTV2V,
+        ControlledUNetModel3DTV2VInterpolate,
+    )
 
     kwargs = dict(
         use_checkpoint=False, use_spatial_transformer=True, legacy=False,
@@ -107,14 +110,13 @@ def _torch_tv2v(sgm, cfca=False, with_img=False):
     )
     if cfca:
         kwargs.update(enable_attention3d_crossframe=True, ST3DCA_ca_type="center_self")
-    if with_img:
+    if with_img or interpolate:
         kwargs["controlnet_img_config"] = _torch_cn_config(
             hint_channels=4, no_add_x=True,
             set_input_hint_block_as_identity=True, disable_text_ca=True,
         )
-    tm = ControlledUNetModel3DTV2V(
-        controlnet_config=_torch_cn_config(), **kwargs
-    ).eval()
+    cls = ControlledUNetModel3DTV2VInterpolate if interpolate else ControlledUNetModel3DTV2V
+    tm = cls(controlnet_config=_torch_cn_config(), **kwargs).eval()
     return tm
 
 
@@ -249,6 +251,74 @@ class TestUNet3DParity:
             "crossattn": jnp.asarray(_to_np(ctx)),
             "control_hint": jnp.asarray(_to_np(hint).transpose(0, 2, 3, 4, 1)),
             "cond_feat": jnp.asarray(_to_np(cond_feat).transpose(0, 2, 3, 1)),
+        }
+        out = net.apply(
+            {"params": params},
+            jnp.asarray(_to_np(x).transpose(0, 2, 3, 4, 1)),
+            jnp.asarray(_to_np(t)),
+            cond,
+        )
+        out = np.asarray(out).transpose(0, 4, 1, 2, 3)
+        np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
+
+    def test_full_interpolate_wrapper_matches(self, sgm):
+        """Frame interpolation: controlnet_img runs on first+last frames
+        batched (wrappers.py:210-264) and its taps are added at frames
+        0 / -1 of EVERY input block + middle (controlmodel.py:556-617) —
+        torch OpenAIWrapperControlLDM3DTV2VInterpolate vs CCEditNetwork
+        interpolate=True."""
+        import jax.numpy as jnp
+
+        from ccedit_tpu.modules.controlnet import CCEditNetwork, ControlNet2D
+        from ccedit_tpu.modules.unet import UNetModel
+
+        from sgm.modules.diffusionmodules.wrappers import (
+            OpenAIWrapperControlLDM3DTV2VInterpolate,
+        )
+
+        tm = _torch_tv2v(sgm, interpolate=True)
+        randomize_state_dict(tm, seed=70)
+        wrapper = OpenAIWrapperControlLDM3DTV2VInterpolate(tm)
+
+        x = torch.randn(1, 4, 3, 8, 8, generator=torch.Generator().manual_seed(71))
+        t = torch.tensor([250.0])
+        ctx = torch.randn(1, 7, 16, generator=torch.Generator().manual_seed(72))
+        hint = torch.rand(1, 3, 3, 64, 64,
+                          generator=torch.Generator().manual_seed(73)) * 2 - 1
+        # (B, C, 2, H, W): VAE latents of the first and last frame
+        ifl = torch.randn(1, 4, 2, 8, 8, generator=torch.Generator().manual_seed(74))
+        with torch.no_grad():
+            ref = _to_np(wrapper(
+                x, t, {"crossattn": ctx, "control_hint": hint,
+                       "interpolate_first_last": ifl}))
+
+        sd = _sd_np(tm)
+        unet_sd = {k: v for k, v in sd.items() if not k.startswith("controlnet")}
+        tiny_kw = {**TINY, "attention_resolutions": (2, 1), "channel_mult": (1, 2)}
+        net = CCEditNetwork(
+            unet=UNetModel(unet_type="pseudo-3d", disable_temporal_text_ca=True,
+                           **tiny_kw),
+            controlnet=ControlNet2D(hint_channels=3, **tiny_kw),
+            controlnet_img=ControlNet2D(
+                hint_channels=4, input_hint_identity=True, no_add_x=True,
+                disable_text_ca=True, **tiny_kw,
+            ),
+            interpolate=True,
+        )
+        params = {
+            "unet": convert_unet(unet_sd, prefix="", video=True, **CONV_KW),
+            "controlnet": convert_controlnet(sd, prefix="controlnet.", **CONV_KW),
+            "controlnet_img": convert_controlnet(
+                sd, prefix="controlnet_img.", identity_hint=True,
+                disable_text_ca=True, **CONV_KW,
+            ),
+        }
+        cond = {
+            "crossattn": jnp.asarray(_to_np(ctx)),
+            "control_hint": jnp.asarray(_to_np(hint).transpose(0, 2, 3, 4, 1)),
+            # (B, C, 2, H, W) -> (B, 2, H, W, C)
+            "interpolate_first_last": jnp.asarray(
+                _to_np(ifl).transpose(0, 2, 3, 4, 1)),
         }
         out = net.apply(
             {"params": params},
