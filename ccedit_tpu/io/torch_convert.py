@@ -166,6 +166,16 @@ def _spatial_transformer(
             b, f"{src}.transformer_blocks.{d}", f"{dst}/blocks_{d}",
             single=disable_text_ca,
         )
+    if f"{src}.norm_ca.weight" in b.sd:
+        # 2D SpatialTransformerCA reference-attention sub-layer (RAIG,
+        # attention.py:892-997): presence-keyed, depth-1 like the reference.
+        b.norm(f"{src}.norm_ca", f"{dst}/norm_ca")
+        cproj = b.linear if use_linear else b.conv2d
+        cproj(f"{src}.proj_in_ca", f"{dst}/proj_in_ca")
+        cproj(f"{src}.proj_out_ca", f"{dst}/proj_out_ca")
+        _basic_block(
+            b, f"{src}.transformer_blocks_ca.0", f"{dst}/blocks_ca_0", single=True,
+        )
     if not video:
         return
     b.norm(f"{src}.norm_temporal", f"{dst}/norm_temporal")

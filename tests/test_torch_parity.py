@@ -330,6 +330,96 @@ class TestUNet3DParity:
         np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
 
 
+# SD-1.5's block STRUCTURE (16 UNet STs / 7 ControlNet STs) at tiny widths:
+# the reference RAIG mapping is a hardcoded 16-entry table keyed to exactly
+# this layout (controlmodel.py:656-676), so the parity test must reproduce it.
+SD15_STRUCT = dict(
+    in_channels=4, model_channels=32, out_channels=4, num_res_blocks=2,
+    attention_resolutions=[4, 2, 1], channel_mult=[1, 2, 4, 4],
+    num_heads=2, transformer_depth=1, context_dim=16,
+)
+
+
+class TestRAIGParity:
+    def test_raig_wrapper_matches(self, sgm):
+        """2D reference-attention image generation: controlnet_img's
+        SpatialTransformer outputs are banked (forward hooks in the
+        reference; explicit return_attn_bank here) and every UNet
+        SpatialTransformerCA attends to its mapped bank entry —
+        OpenAIWrapperRAIG + ControlledUNetModel2DRAIG
+        (wrappers.py:47-79, controlmodel.py:620-719) vs
+        CCEditNetwork(raig=True)."""
+        import jax.numpy as jnp
+
+        from ccedit_tpu.modules.controlnet import CCEditNetwork, ControlNet2D
+        from ccedit_tpu.modules.unet import UNetModel
+
+        from sgm.modules.diffusionmodules.controlmodel import (
+            ControlledUNetModel2DRAIG,
+        )
+        from sgm.modules.diffusionmodules.wrappers import OpenAIWrapperRAIG
+
+        cn_cfg = {
+            "target": "sgm.modules.diffusionmodules.controlmodel.ControlNet2D",
+            "params": dict(
+                hint_channels=4, control_scales=1.0, no_add_x=True,
+                set_input_hint_block_as_identity=True, disable_text_ca=True,
+                use_checkpoint=False, use_spatial_transformer=True,
+                legacy=False, **SD15_STRUCT,
+            ),
+        }
+        tm = ControlledUNetModel2DRAIG(
+            use_checkpoint=False, use_spatial_transformer=True, legacy=False,
+            enable_ref_attn=True, controlnet_img_config=cn_cfg, **SD15_STRUCT,
+        ).eval()
+        randomize_state_dict(tm, seed=80)  # un-zeroes proj_out_ca: CA is live
+        wrapper = OpenAIWrapperRAIG(tm)
+
+        x = torch.randn(1, 4, 16, 16, generator=torch.Generator().manual_seed(81))
+        t = torch.tensor([321.0])
+        ctx = torch.randn(1, 7, 16, generator=torch.Generator().manual_seed(82))
+        cond_feat = torch.randn(
+            1, 4, 16, 16, generator=torch.Generator().manual_seed(83))
+        with torch.no_grad():
+            ref = _to_np(wrapper(
+                x, t, {"crossattn": ctx, "cond_feat": cond_feat}))
+
+        sd = _sd_np(tm)
+        unet_sd = {k: v for k, v in sd.items() if not k.startswith("controlnet")}
+        conv_kw = dict(channel_mult=(1, 2, 4, 4), num_res_blocks=2,
+                       attention_resolutions=(4, 2, 1), transformer_depth=1,
+                       model_channels=32)
+        struct_kw = {**SD15_STRUCT, "attention_resolutions": (4, 2, 1),
+                     "channel_mult": (1, 2, 4, 4)}
+        net = CCEditNetwork(
+            unet=UNetModel(unet_type="2d", enable_ref_attn=True, **struct_kw),
+            controlnet_img=ControlNet2D(
+                hint_channels=4, input_hint_identity=True, no_add_x=True,
+                disable_text_ca=True, **struct_kw,
+            ),
+            raig=True,
+        )
+        params = {
+            "unet": convert_unet(unet_sd, prefix="", video=False, **conv_kw),
+            "controlnet_img": convert_controlnet(
+                sd, prefix="controlnet_img.", identity_hint=True,
+                disable_text_ca=True, **conv_kw,
+            ),
+        }
+        cond = {
+            "crossattn": jnp.asarray(_to_np(ctx)),
+            "cond_feat": jnp.asarray(_to_np(cond_feat).transpose(0, 2, 3, 1)),
+        }
+        out = net.apply(
+            {"params": params},
+            jnp.asarray(_to_np(x).transpose(0, 2, 3, 1)),
+            jnp.asarray(_to_np(t)),
+            cond,
+        )
+        out = np.asarray(out).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
+
+
 class TestControlNetParity:
     def test_forward_matches(self, sgm):
         import jax.numpy as jnp
