@@ -371,6 +371,14 @@ def convert_controlnet(
     for i in range(n_zero):
         b.conv2d(f"zero_convs.{i}.0", f"zero_convs_{i}/conv")
     b.conv2d("middle_block_out.0", "middle_block_out/conv")
+    # ControlNet3D's pseudo-3D tap twins (controlmodel.py:67-97): a 1x1 1-D
+    # zero conv per tap + one for the middle; presence-keyed.
+    n_zt = len([k for k in sub
+                if k.startswith("zero_convs_temporal.") and k.endswith(".0.weight")])
+    for i in range(n_zt):
+        b.conv1d(f"zero_convs_temporal.{i}.0", f"zero_convs_temporal_{i}/conv")
+    if "middle_block_out_temporal.0.weight" in sub:
+        b.conv1d("middle_block_out_temporal.0", "middle_block_out_temporal/conv")
     extra = b.tree()
     tree.update(extra)
     return tree

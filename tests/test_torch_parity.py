@@ -460,6 +460,109 @@ class TestControlNetParity:
             )
 
 
+class TestControlNet3DParity:
+    def test_forward_matches(self, sgm):
+        """Temporal-aware control branch (controlmodel.py:23-190): pseudo-3D
+        trunk, stride-1 latent-res hint pyramid broadcast over frames, and
+        pseudo-3D zero-conv taps (2D + 1-D temporal twin per scale).
+        randomize_state_dict un-zeroes every zero conv and temporal twin, so
+        all 14 taps are live through both branches."""
+        import jax.numpy as jnp
+
+        from ccedit_tpu.modules.controlnet import ControlNet3D
+
+        from sgm.modules.diffusionmodules.controlmodel import (
+            ControlNet3D as TorchCN3D,
+        )
+
+        tm = TorchCN3D(
+            hint_channels=4, control_scales=1.0,
+            use_checkpoint=False, use_spatial_transformer=True, legacy=False,
+            disable_temporal_text_ca=True, **TINY,
+        ).eval()
+        randomize_state_dict(tm, seed=90)
+
+        x = torch.randn(1, 4, 3, 8, 8, generator=torch.Generator().manual_seed(91))
+        # latent-res hint, one map broadcast over every frame (controlmodel.py:170-176)
+        hint = torch.randn(1, 4, 8, 8, generator=torch.Generator().manual_seed(92))
+        t = torch.tensor([77.0])
+        ctx = torch.randn(1, 7, 16, generator=torch.Generator().manual_seed(93))
+        with torch.no_grad():
+            ref = [_to_np(c) for c in tm(x, hint, timesteps=t, context=ctx)]
+
+        params = convert_controlnet(_sd_np(tm), prefix="", video=True, **CONV_KW)
+        jm = ControlNet3D(
+            hint_channels=4, disable_temporal_text_ca=True,
+            **{**TINY, "attention_resolutions": (2, 1), "channel_mult": (1, 2)},
+        )
+        hint_rep = np.repeat(_to_np(hint)[:, None], 3, axis=1)  # (B,T,h,w,C-first)
+        outs = jm.apply(
+            {"params": params},
+            jnp.asarray(_to_np(x).transpose(0, 2, 3, 4, 1)),
+            jnp.asarray(hint_rep.transpose(0, 1, 3, 4, 2)),
+            jnp.asarray(_to_np(t)),
+            jnp.asarray(_to_np(ctx)),
+        )
+        assert len(outs) == len(ref)
+        for o, r in zip(outs, ref):
+            np.testing.assert_allclose(
+                np.asarray(o).transpose(0, 4, 1, 2, 3), r, atol=5e-4, rtol=1e-3)
+
+    def test_disable_temporal_center_frame_matches(self, sgm):
+        """disable_temporal (controlmodel.py:102-190): the reference STRIPS
+        every temporal module and runs the center frame only.  Ours keeps the
+        zero-init temporal twins (exact no-ops at T=1) and slices the center
+        frame — so the converted 2D-only weights are overlaid on a zero-init
+        tree and the outputs must match the stripped torch model."""
+        import jax
+        import jax.numpy as jnp
+
+        from ccedit_tpu.modules.controlnet import ControlNet3D
+
+        from sgm.modules.diffusionmodules.controlmodel import (
+            ControlNet3D as TorchCN3D,
+        )
+
+        tm = TorchCN3D(
+            hint_channels=4, control_scales=1.0, disable_temporal=True,
+            use_checkpoint=False, use_spatial_transformer=True, legacy=False,
+            disable_temporal_text_ca=True, **TINY,
+        ).eval()
+        randomize_state_dict(tm, seed=94)
+
+        x = torch.randn(1, 4, 3, 8, 8, generator=torch.Generator().manual_seed(95))
+        hint = torch.randn(1, 4, 8, 8, generator=torch.Generator().manual_seed(96))
+        t = torch.tensor([510.0])
+        ctx = torch.randn(1, 7, 16, generator=torch.Generator().manual_seed(97))
+        with torch.no_grad():
+            ref = [_to_np(c) for c in tm(x, hint, timesteps=t, context=ctx)]
+
+        # the stripped state dict has NO temporal keys -> convert as 2D and
+        # overlay on the zero-init (no-op-twin) tree
+        params2d = convert_controlnet(_sd_np(tm), prefix="", video=False, **CONV_KW)
+        jm = ControlNet3D(
+            hint_channels=4, disable_temporal=True, disable_temporal_text_ca=True,
+            **{**TINY, "attention_resolutions": (2, 1), "channel_mult": (1, 2)},
+        )
+        jx = jnp.asarray(_to_np(x).transpose(0, 2, 3, 4, 1))
+        jh = jnp.asarray(_to_np(hint).transpose(0, 2, 3, 1))
+        jt = jnp.asarray(_to_np(t))
+        jc = jnp.asarray(_to_np(ctx))
+        init = jm.init(jax.random.PRNGKey(0), jx, jh, jt, jc)["params"]
+
+        def overlay(base, upd):
+            out = dict(base)
+            for k, v in upd.items():
+                out[k] = overlay(base[k], v) if isinstance(v, dict) else v
+            return out
+
+        outs = jm.apply({"params": overlay(init, params2d)}, jx, jh, jt, jc)
+        assert len(outs) == len(ref)
+        for o, r in zip(outs, ref):  # ours: center map (B,h,w,C); ref: (B,C,1,H,W)
+            np.testing.assert_allclose(
+                np.asarray(o).transpose(0, 3, 1, 2), r[:, :, 0], atol=5e-4, rtol=1e-3)
+
+
 class TestVAEParity:
     def test_encode_decode_match(self, sgm):
         import jax.numpy as jnp
