@@ -47,22 +47,53 @@ class StandardDiffusionLoss:
         denoiser: Denoiser,
         cond,
         x: jnp.ndarray,
+        noise_override: Optional[jnp.ndarray] = None,
+        sigma_override: Optional[jnp.ndarray] = None,
+        offset_override: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """x: clean latents (B, ...). Returns per-sample losses (B,)."""
+        """x: clean latents (B, ...). Returns per-sample losses (B,).
+
+        The ``*_override`` tensors replace the jax.random draws (SURVEY §7.1
+        parity harness): inject the reference's torch sigma/noise/offset
+        stream to pin the training target bit-for-bit."""
         k_sigma, k_noise, k_offset = jax.random.split(rng, 3)
-        sigmas = self.sigma_sampler(k_sigma, x.shape[0])
-        noise = jax.random.normal(k_noise, x.shape, dtype=x.dtype)
+        sigmas = (jnp.asarray(sigma_override, dtype=jnp.float32)
+                  if sigma_override is not None
+                  else self.sigma_sampler(k_sigma, x.shape[0]))
+        noise = (jnp.asarray(noise_override, dtype=x.dtype)
+                 if noise_override is not None
+                 else jax.random.normal(k_noise, x.shape, dtype=x.dtype))
         if self.offset_noise_level > 0.0:
-            # offset noise broadcast over dims >= offset_noise_varying_dim
-            # (loss.py:49-57; varying_dim=3 in BCTHW == (B, T, C) vary in our
-            # BTHWC layout — handled by the caller choosing varying_dim)
-            vshape = x.shape[: self.offset_noise_varying_dim]
-            offs = jax.random.normal(k_offset, vshape, dtype=x.dtype)
-            noise = noise + self.offset_noise_level * append_dims(offs, x.ndim)
+            # ``offset_noise_varying_dim`` keeps the REFERENCE's channels-first
+            # dim order (loss.py:49-57: offs = randn(input.shape[:d]) in
+            # (B, C, *spatial) — the shipped training YAMLs use d=3, i.e. the
+            # offset varies over (B, C, T) and is shared over (H, W)).  Our
+            # layout is channels-last (B, *spatial, C), so we draw into the
+            # equivalent broadcast shape instead of x.shape[:d].
+            vshape = self._offset_shape(x.shape)
+            offs = (jnp.asarray(offset_override, dtype=x.dtype)
+                    if offset_override is not None
+                    else jax.random.normal(k_offset, vshape, dtype=x.dtype))
+            assert offs.shape == vshape, (offs.shape, vshape)
+            noise = noise + self.offset_noise_level * offs
         noised = x + noise * append_dims(sigmas, x.ndim)
         model_output = denoiser(network, noised, sigmas, cond)
         w = append_dims(denoiser.w(sigmas), x.ndim)
         return self.get_loss(model_output, x, w)
+
+    def _offset_shape(self, xshape):
+        """Broadcast shape of the offset-noise draw in OUR channels-last
+        layout for a reference-order ``offset_noise_varying_dim``.  Reference
+        dim k maps to: 0 (B) -> 0, 1 (C) -> last, k>=2 (spatial) -> k-1."""
+        d = self.offset_noise_varying_dim
+        n = len(xshape)
+        assert n > d, (xshape, d)
+        ref_to_ours = [0, n - 1] + list(range(1, n - 1))
+        shape = [1] * n
+        for ref_dim in range(d):
+            ax = ref_to_ours[ref_dim]
+            shape[ax] = xshape[ax]
+        return tuple(shape)
 
     @staticmethod
     def make_lpips_fn(lpips_params):

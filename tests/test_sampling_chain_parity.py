@@ -72,6 +72,8 @@ def _make_torch_denoiser(sgm, wrapper):
     def denoiser(x, sigma, c):
         return dd(wrapper, x, sigma, c)
 
+    denoiser.dd = dd  # exposed for the training-loss parity tests
+    denoiser.wrapper = wrapper
     return denoiser
 
 
@@ -1085,3 +1087,162 @@ class TestSamplerModeParity:
             inputs, N_STEPS, inject_loop_noise=False,
         )
         np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+
+class TestTrainingLossParity:
+    """The TRAINING seam, pinned the same way: the reference's own
+    ``StandardDiffusionLoss`` (loss.py:41-84 — sigma draw -> randn noise ->
+    offset noise over input.shape[:varying_dim] -> DiscreteDenoiser ->
+    eps-weighted reduction) is executed with an injected sigma/noise/offset
+    stream, and our loss must produce the same per-sample values from the
+    same injected tensors — including the channels-first->channels-last
+    remap of ``offset_noise_varying_dim=3`` ((B,C,T)-varying offset noise,
+    the shipped training YAMLs' setting).  The gradient test then pins the
+    BACKWARD seam: torch autograd grads, pushed through the same weight
+    converter, must equal jax.grad of our loss."""
+
+    @pytest.fixture(scope="class")
+    def loss_inputs(self, inputs):
+        rng = np.random.default_rng(777)
+        x = np.concatenate(
+            [inputs["x_init"], 0.5 * inputs["x_init"]], axis=0
+        )  # (2, 4, 3, 8, 8) — B=2 so per-sample sigma/weighting is exercised
+        b, c, t = x.shape[:3]
+        return dict(
+            x=x,
+            noise=rng.standard_normal(x.shape).astype(np.float32),
+            offset=rng.standard_normal((b, c, t)).astype(np.float32),
+            sigma_idx=np.array([137, 842], dtype=np.int64),
+            ctx=np.concatenate([inputs["ctx_c"], inputs["ctx_u"]], axis=0),
+            hint=np.concatenate([inputs["hint"], -inputs["hint"]], axis=0),
+        )
+
+    def _ref_loss(self, sgm, wrapper, dd, li, loss_type, offset_level):
+        from unittest import mock
+
+        from sgm.modules.diffusionmodules.loss import (
+            StandardDiffusionLoss as RefLoss,
+        )
+
+        ref_loss = RefLoss(
+            sigma_sampler_config={
+                "target": "sgm.modules.diffusionmodules.sigma_sampling.DiscreteSampling",
+                "params": {"discretization_config": LEGACY, "num_idx": 1000},
+            },
+            type=loss_type,
+            offset_noise_level=offset_level,
+            offset_noise_varying_dim=3,
+        )
+        sigmas_t = ref_loss.sigma_sampler.idx_to_sigma(
+            torch.from_numpy(li["sigma_idx"])
+        ).float()
+        ref_loss.sigma_sampler = lambda n: sigmas_t
+        cond_t = {
+            "crossattn": torch.from_numpy(li["ctx"]),
+            "control_hint": torch.from_numpy(li["hint"]),
+        }
+        noise_t = torch.from_numpy(li["noise"])
+        offset_t = torch.from_numpy(li["offset"])
+        x_t = torch.from_numpy(li["x"])
+        with mock.patch.object(torch, "randn_like", lambda *a, **k: noise_t), \
+             mock.patch.object(torch, "randn", lambda *a, **k: offset_t):
+            per_sample = ref_loss(wrapper, dd, lambda batch: cond_t, x_t, {})
+        return sigmas_t.detach().numpy(), per_sample
+
+    def _our_loss_args(self, net, params, li, loss_type, offset_level, sigmas_np):
+        import jax
+        import jax.numpy as jnp
+
+        from ccedit_tpu.diffusion.denoiser import DiscreteDenoiser
+        from ccedit_tpu.diffusion.loss import StandardDiffusionLoss
+        from ccedit_tpu.diffusion.sigma_sampling import make_sigma_sampler
+
+        loss = StandardDiffusionLoss(
+            sigma_sampler=make_sigma_sampler("discrete"),
+            loss_type=loss_type,
+            offset_noise_level=offset_level,
+            offset_noise_varying_dim=3,
+        )
+        jdd = DiscreteDenoiser("eps", weighting="eps")
+        cond = {
+            "crossattn": jnp.asarray(li["ctx"]),
+            "control_hint": jnp.asarray(li["hint"].transpose(0, 2, 3, 4, 1)),
+        }
+        x_j = jnp.asarray(li["x"].transpose(0, 2, 3, 4, 1))  # BCTHW -> BTHWC
+        kw = dict(
+            noise_override=li["noise"].transpose(0, 2, 3, 4, 1),
+            sigma_override=sigmas_np,
+            # (B, C, T) -> our broadcast shape (B, T, 1, 1, C)
+            offset_override=li["offset"].transpose(0, 2, 1)[:, :, None, None, :],
+        )
+
+        def run(p):
+            def net_fn(x, c_noise, c):
+                return net.apply({"params": p}, x, c_noise, c)
+
+            return loss(jax.random.PRNGKey(0), net_fn, jdd, cond, x_j, **kw)
+
+        return run
+
+    @pytest.mark.parametrize(
+        "loss_type,offset_level",
+        [("l2", 0.1), ("l1", 0.0)],
+        ids=["l2-offset0.1-vd3", "l1-no-offset"],
+    )
+    def test_loss_value_parity(self, sgm, tv2v_pair, loss_inputs,
+                               loss_type, offset_level):
+        torch_denoiser, net, params = tv2v_pair
+        sigmas_np, ref = self._ref_loss(
+            sgm, torch_denoiser.wrapper, torch_denoiser.dd, loss_inputs,
+            loss_type, offset_level,
+        )
+        run = self._our_loss_args(
+            net, params, loss_inputs, loss_type, offset_level, sigmas_np)
+        ours = np.asarray(run(params))
+        np.testing.assert_allclose(
+            ours, ref.detach().numpy(), rtol=1e-3, atol=1e-6)
+
+    def test_training_gradient_parity(self, sgm, tv2v_pair, loss_inputs):
+        """Backward seam: d(mean loss)/d(params) from torch autograd equals
+        jax.grad of our loss — the torch grad dict is pushed through the SAME
+        converter as the weights (every converter op is linear, so gradients
+        convert by the identical mapping)."""
+        import jax
+
+        torch_denoiser, net, params = tv2v_pair
+        tm = torch_denoiser.wrapper.diffusion_model
+        tm.zero_grad(set_to_none=True)
+
+        sigmas_np, per_sample = self._ref_loss(
+            sgm, torch_denoiser.wrapper, torch_denoiser.dd, loss_inputs,
+            "l2", 0.1,
+        )
+        per_sample.mean().backward()
+        grad_sd = {}
+        for k, v in tm.named_parameters():
+            grad_sd[k] = (
+                np.zeros(v.shape, dtype=np.float32)
+                if v.grad is None else _to_np(v.grad)
+            )
+        unet_gsd = {k: v for k, v in grad_sd.items()
+                    if not k.startswith("controlnet")}
+        ref_grads = {
+            "unet": convert_unet(unet_gsd, prefix="", video=True, **CONV_KW),
+            "controlnet": convert_controlnet(
+                grad_sd, prefix="controlnet.", **CONV_KW),
+        }
+
+        run = self._our_loss_args(net, params, loss_inputs, "l2", 0.1, sigmas_np)
+        our_grads = jax.grad(lambda p: jax.numpy.mean(run(p)))(params)
+
+        import flax
+
+        ref_flat = flax.traverse_util.flatten_dict(ref_grads)
+        our_flat = flax.traverse_util.flatten_dict(our_grads)
+        assert set(ref_flat) == set(our_flat)
+        for key in sorted(our_flat):
+            np.testing.assert_allclose(
+                np.asarray(our_flat[key]), np.asarray(ref_flat[key]),
+                rtol=2e-3, atol=1e-5,
+                err_msg="/".join(key),
+            )
