@@ -89,13 +89,20 @@ class AutoencodingEngine:
 
     # -- forward ------------------------------------------------------------
 
-    def encode(self, ae_params, x, rng):
+    def encode(self, ae_params, x, rng, noise_override=None):
+        """``noise_override`` replaces the posterior's N(0,1) draw (SURVEY
+        §7.1 injection pattern) so the torch oracle's eps stream can be
+        replayed in parity tests."""
         from ..modules.vae import DiagonalGaussian
 
         moments = self.ae.apply({"params": ae_params}, x,
                                 method=AutoencoderKL.encode_moments)
         posterior = DiagonalGaussian(moments)
-        z = posterior.sample(rng)
+        if noise_override is not None:
+            z = posterior.mean + posterior.std * jnp.asarray(
+                noise_override, posterior.mean.dtype)
+        else:
+            z = posterior.sample(rng)
         return z, {"kl_loss": jnp.mean(posterior.kl())}
 
     def decode(self, ae_params, z):
@@ -105,7 +112,10 @@ class AutoencodingEngine:
     # -- losses -------------------------------------------------------------
 
     def _nll(self, params, x, xrec):
-        rec = jnp.abs(x - xrec) * self.cfg.pixelloss_weight
+        # NOTE: the reference stores pixelloss_weight but never applies it in
+        # forward (losses/__init__.py:113 vs :176) — the field is kept for
+        # YAML compat and left unapplied to match that behavior exactly.
+        rec = jnp.abs(x - xrec)
         if self.cfg.perceptual_weight > 0:
             p = self.lpips.apply({"params": params["lpips"]}, x, xrec)
             rec = rec + self.cfg.perceptual_weight * p
@@ -139,8 +149,10 @@ class AutoencodingEngine:
         d_w = jnp.clip(d_w, 0.0, 1e4)
         return jax.lax.stop_gradient(d_w) * self.cfg.disc_weight
 
-    def generator_loss(self, params, x, rng, global_step) -> Tuple[jnp.ndarray, Dict]:
-        z, reg_log = self.encode(params["ae"], x, rng)
+    def generator_loss(self, params, x, rng, global_step,
+                       noise_override=None) -> Tuple[jnp.ndarray, Dict]:
+        z, reg_log = self.encode(params["ae"], x, rng,
+                                 noise_override=noise_override)
         xrec = self.decode(params["ae"], z)
         nll, rec = self._nll(params, x, xrec)
         g_loss = -jnp.mean(self.disc.apply({"params": params["disc"]}, xrec))
@@ -162,8 +174,10 @@ class AutoencodingEngine:
         log["total_loss"] = loss
         return loss, log
 
-    def discriminator_loss(self, params, x, rng, global_step):
-        z, _ = self.encode(params["ae"], x, rng)
+    def discriminator_loss(self, params, x, rng, global_step,
+                           noise_override=None):
+        z, _ = self.encode(params["ae"], x, rng,
+                           noise_override=noise_override)
         xrec = self.decode(params["ae"], z)
         logits_real = self.disc.apply({"params": params["disc"]}, x)
         logits_fake = self.disc.apply({"params": params["disc"]},

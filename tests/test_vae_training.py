@@ -96,6 +96,37 @@ def _randomize(model, seed, scale=0.05):
     return model
 
 
+def _lpips_params(tm):
+    """_TorchLPIPS state_dict -> our flax params via the production
+    convert_lpips (taming vgg.pth key layout)."""
+    from ccedit_tpu.modules.lpips import convert_lpips
+
+    sd = {}
+    for k, v in tm.state_dict().items():
+        if k.startswith("lins."):
+            sd[f"lin{k.split('.')[1]}.model.1.weight"] = v.numpy()
+        else:
+            sd[k] = v.numpy()
+    return convert_lpips(sd)
+
+
+def _disc_params(tm, n_layers=3):
+    """_TorchNLayerDisc state_dict -> our NLayerDiscriminator params."""
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = {"conv_0": {"kernel": sd["main.0.weight"].transpose(2, 3, 1, 0),
+                         "bias": sd["main.0.bias"]}}
+    idx = 2
+    for n in range(1, n_layers + 1):
+        params[f"conv_{n}"] = {
+            "kernel": sd[f"main.{idx}.weight"].transpose(2, 3, 1, 0)}
+        params[f"bn_{n}"] = {"scale": sd[f"main.{idx + 1}.weight"],
+                             "bias": sd[f"main.{idx + 1}.bias"]}
+        idx += 3
+    params["head"] = {"kernel": sd[f"main.{idx}.weight"].transpose(2, 3, 1, 0),
+                      "bias": sd[f"main.{idx}.bias"]}
+    return params
+
+
 class TestLPIPSParity:
     def test_matches_torch(self):
         import jax.numpy as jnp
@@ -197,3 +228,216 @@ class TestVAETrainer:
             p0["lpips"]["lin_0"]["kernel"],
             np.asarray(p1["lpips"]["lin_0"]["kernel"]))
         assert int(state["step"]) == 2
+
+
+class TestGANLossParity:
+    """The COMPOSITE autoencoder GAN loss, oracle-pinned: the reference's
+    own ``GeneralLPIPSWithDiscriminator`` (sgm/modules/autoencoding/losses/
+    __init__.py:87-246) is imported and executed — its real ``__init__``,
+    ``forward`` and ``calculate_adaptive_weight`` (torch autograd through
+    the decoder's last conv) — with torch stand-ins registered under the
+    ``taming`` module names it imports (LPIPS / NLayerDiscriminator /
+    hinge+vanilla d-losses, the public taming definitions).  The posterior
+    eps draw is injected on both sides, and our ``AutoencodingEngine``
+    generator/discriminator losses must reproduce: total loss, nll, g_loss,
+    the adaptive d_weight (jax.grad vs torch.autograd.grad seam), rec_loss,
+    kl regularization, hinge AND vanilla disc losses, and the disc_start
+    warm-up gate."""
+
+    GEOM = dict(ch=32, ch_mult=(1, 2), num_res_blocks=1, resolution=32)
+    DISC_START = 3
+    DISC_WEIGHT = 0.75
+    KL_W = 1e-6
+
+    @staticmethod
+    def _install_taming_oracles():
+        import sys
+        import types
+
+        import torch.nn.functional as F
+
+        class _NLayerDisc(_TorchNLayerDisc):
+            def __init__(self, input_nc=3, ndf=8, n_layers=3,
+                         use_actnorm=False):
+                assert not use_actnorm
+                super().__init__(input_nc=input_nc, ndf=8, n_layers=n_layers)
+
+        def weights_init(m):  # taming model.py weights_init
+            name = m.__class__.__name__
+            if name.find("Conv") != -1:
+                torch.nn.init.normal_(m.weight.data, 0.0, 0.02)
+            elif name.find("BatchNorm") != -1:
+                torch.nn.init.normal_(m.weight.data, 1.0, 0.02)
+                torch.nn.init.constant_(m.bias.data, 0)
+
+        def hinge_d_loss(logits_real, logits_fake):
+            return 0.5 * (torch.mean(F.relu(1.0 - logits_real))
+                          + torch.mean(F.relu(1.0 + logits_fake)))
+
+        def vanilla_d_loss(logits_real, logits_fake):
+            return 0.5 * (torch.mean(F.softplus(-logits_real))
+                          + torch.mean(F.softplus(logits_fake)))
+
+        for name in ("taming.modules.discriminator",
+                     "taming.modules.discriminator.model",
+                     "taming.modules.losses.vqperceptual"):
+            if name not in sys.modules:
+                m = types.ModuleType(name)
+                import importlib.machinery as im
+
+                m.__spec__ = im.ModuleSpec(name, None)
+                sys.modules[name] = m
+        dm = sys.modules["taming.modules.discriminator.model"]
+        dm.NLayerDiscriminator = _NLayerDisc
+        dm.weights_init = weights_init
+        vq = sys.modules["taming.modules.losses.vqperceptual"]
+        vq.hinge_d_loss = hinge_d_loss
+        vq.vanilla_d_loss = vanilla_d_loss
+        sys.modules["taming.modules.losses.lpips"].LPIPS = _TorchLPIPS
+
+    @pytest.fixture(scope="class")
+    def oracle(self):
+        from reference_compat import install_reference
+
+        install_reference()
+        self._install_taming_oracles()
+        from sgm.modules.autoencoding.losses import (
+            GeneralLPIPSWithDiscriminator,
+        )
+        from sgm.modules.distributions.distributions import (
+            DiagonalGaussianDistribution,
+        )
+        from sgm.modules.diffusionmodules.model import (
+            Decoder as TDec,
+            Encoder as TEnc,
+        )
+
+        g = self.GEOM
+        ddconfig = dict(
+            double_z=True, z_channels=4, resolution=g["resolution"],
+            in_channels=3, out_ch=3, ch=g["ch"], ch_mult=list(g["ch_mult"]),
+            num_res_blocks=g["num_res_blocks"], attn_resolutions=[],
+            dropout=0.0,
+        )
+        tenc, tdec = TEnc(**ddconfig), TDec(**ddconfig)
+        tq, tpq = torch.nn.Conv2d(8, 8, 1), torch.nn.Conv2d(4, 4, 1)
+        for m, seed in ((tenc, 61), (tdec, 62), (tq, 63), (tpq, 64)):
+            _randomize(m, seed, 0.08)
+
+        refs = {}
+        for kind in ("hinge", "vanilla"):
+            ref = GeneralLPIPSWithDiscriminator(
+                disc_start=self.DISC_START, disc_weight=self.DISC_WEIGHT,
+                disc_loss=kind,
+                regularization_weights={"kl_loss": self.KL_W},
+            )
+            _randomize(ref.perceptual_loss, 65, 0.08)
+            _randomize(ref.discriminator, 66, 0.08)
+            refs[kind] = ref
+
+        gen = torch.Generator().manual_seed(67)
+        x = torch.rand(2, 3, 32, 32, generator=gen) * 2 - 1
+        eps = torch.randn(2, 4, 16, 16, generator=gen)
+
+        def torch_side(ref, optimizer_idx, global_step):
+            moments = tq(tenc(x))
+            posterior = DiagonalGaussianDistribution(moments)
+            z = posterior.mean + posterior.std * eps
+            kl = posterior.kl()
+            kl = torch.sum(kl) / kl.shape[0]  # DiagonalGaussianRegularizer
+            xrec = tdec(tpq(z))
+            return ref(
+                {"kl_loss": kl}, x, xrec, optimizer_idx, global_step,
+                last_layer=tdec.conv_out.weight,
+            )
+
+        return dict(tenc=tenc, tdec=tdec, tq=tq, tpq=tpq, refs=refs,
+                    x=x, eps=eps, torch_side=torch_side)
+
+    @pytest.fixture(scope="class")
+    def ours(self, oracle):
+        import jax.numpy as jnp
+
+        from ccedit_tpu.io.torch_convert import convert_vae
+        from ccedit_tpu.models.autoencoder_engine import (
+            AutoencodingEngine,
+            LPIPSWithDiscriminatorConfig,
+        )
+        from ccedit_tpu.modules.discriminator import NLayerDiscriminator
+        from ccedit_tpu.modules.vae import AutoencoderKL
+
+        g = self.GEOM
+        sd = {}
+        for name, m in (("encoder", oracle["tenc"]),
+                        ("decoder", oracle["tdec"]),
+                        ("quant_conv", oracle["tq"]),
+                        ("post_quant_conv", oracle["tpq"])):
+            sd.update({f"first_stage_model.{name}.{k}": v.detach().numpy()
+                       for k, v in m.state_dict().items()})
+        ae_params = convert_vae(sd, ch_mult=g["ch_mult"],
+                                num_res_blocks=g["num_res_blocks"])
+
+        engines = {}
+        for kind in ("hinge", "vanilla"):
+            eng = AutoencodingEngine(
+                AutoencoderKL(embed_dim=4, **g),
+                LPIPSWithDiscriminatorConfig(
+                    disc_start=self.DISC_START, disc_weight=self.DISC_WEIGHT,
+                    disc_loss=kind,
+                    regularization_weights={"kl_loss": self.KL_W}),
+            )
+            eng.disc = NLayerDiscriminator(ndf=8)
+            engines[kind] = eng
+        params = {
+            "ae": ae_params,
+            "logvar": jnp.asarray(0.0, jnp.float32),
+            "disc": _disc_params(oracle["refs"]["hinge"].discriminator),
+            "lpips": _lpips_params(oracle["refs"]["hinge"].perceptual_loss),
+        }
+        x_j = jnp.asarray(oracle["x"].numpy().transpose(0, 2, 3, 1))
+        eps_j = jnp.asarray(oracle["eps"].numpy().transpose(0, 2, 3, 1))
+        return dict(engines=engines, params=params, x=x_j, eps=eps_j)
+
+    @pytest.mark.parametrize("global_step", [5, 0],
+                             ids=["disc-active", "disc-gated"])
+    def test_generator_loss_parity(self, oracle, ours, global_step):
+        import jax
+
+        ref_loss, ref_log = oracle["torch_side"](
+            oracle["refs"]["hinge"], 0, global_step)
+        eng = ours["engines"]["hinge"]
+        loss, log = eng.generator_loss(
+            ours["params"], ours["x"], jax.random.PRNGKey(0),
+            jax.numpy.asarray(global_step), noise_override=ours["eps"])
+        np.testing.assert_allclose(float(loss), float(ref_loss),
+                                   rtol=2e-3, atol=1e-6)
+        for ours_k, ref_k in [("nll_loss", "train/nll_loss"),
+                              ("g_loss", "train/g_loss"),
+                              ("d_weight", "train/d_weight"),
+                              ("rec_loss", "train/rec_loss"),
+                              ("kl_loss", "train/kl_loss")]:
+            np.testing.assert_allclose(
+                float(log[ours_k]), float(ref_log[ref_k]),
+                rtol=2e-3, atol=1e-6, err_msg=ours_k)
+
+    @pytest.mark.parametrize("kind", ["hinge", "vanilla"])
+    @pytest.mark.parametrize("global_step", [5, 0],
+                             ids=["disc-active", "disc-gated"])
+    def test_discriminator_loss_parity(self, oracle, ours, kind, global_step):
+        import jax
+
+        with torch.no_grad():
+            ref_loss, ref_log = oracle["torch_side"](
+                oracle["refs"][kind], 1, global_step)
+        eng = ours["engines"][kind]
+        loss, log = eng.discriminator_loss(
+            ours["params"], ours["x"], jax.random.PRNGKey(0),
+            jax.numpy.asarray(global_step), noise_override=ours["eps"])
+        np.testing.assert_allclose(float(loss), float(ref_loss),
+                                   rtol=2e-3, atol=1e-6)
+        np.testing.assert_allclose(
+            float(log["logits_real"]), float(ref_log["train/logits_real"]),
+            rtol=2e-3, atol=1e-6)
+        np.testing.assert_allclose(
+            float(log["logits_fake"]), float(ref_log["train/logits_fake"]),
+            rtol=2e-3, atol=1e-6)
