@@ -441,3 +441,57 @@ class TestGANLossParity:
         np.testing.assert_allclose(
             float(log["logits_fake"]), float(ref_log["train/logits_fake"]),
             rtol=2e-3, atol=1e-6)
+
+    def test_latent_lpips_parity(self, oracle, ours):
+        """LatentLPIPS (losses/__init__.py:19-84): latent L2 + LPIPS through
+        a frozen decoder, plus the perceptual_weight_on_inputs branch — the
+        reference's real forward run with our converted decoder/LPIPS."""
+        import jax.numpy as jnp
+
+        from sgm.modules.autoencoding.losses import LatentLPIPS as RefLL
+
+        from ccedit_tpu.models.autoencoder_engine import LatentLPIPS
+        from ccedit_tpu.modules.vae import AutoencoderKL
+
+        tdec, tpq = oracle["tdec"], oracle["tpq"]
+        ref = RefLL.__new__(RefLL)
+        torch.nn.Module.__init__(ref)
+        ref.scale_input_to_tgt_size = False
+        ref.scale_tgt_to_input_size = False
+
+        class _Dec:
+            @staticmethod
+            def decode(z):
+                return tdec(tpq(z))
+
+        ref.decoder = _Dec()
+        ref.perceptual_loss = oracle["refs"]["hinge"].perceptual_loss
+        ref.perceptual_weight = 1.0
+        ref.latent_weight = 0.7
+        ref.perceptual_weight_on_inputs = 0.5
+
+        g = torch.Generator().manual_seed(68)
+        lat_in = torch.randn(2, 4, 16, 16, generator=g) * 0.3
+        lat_pred = lat_in + torch.randn(2, 4, 16, 16, generator=g) * 0.1
+        with torch.no_grad():
+            ref_loss, ref_log = ref(lat_in, lat_pred, oracle["x"])
+
+        g = self.GEOM
+        ll = LatentLPIPS(AutoencoderKL(embed_dim=4, **g),
+                         perceptual_weight=1.0, latent_weight=0.7,
+                         perceptual_weight_on_inputs=0.5)
+        loss, log = ll(
+            {"decoder": ours["params"]["ae"],
+             "lpips": ours["params"]["lpips"]},
+            jnp.asarray(lat_in.numpy().transpose(0, 2, 3, 1)),
+            jnp.asarray(lat_pred.numpy().transpose(0, 2, 3, 1)),
+            image_inputs=ours["x"])
+        np.testing.assert_allclose(float(loss), float(ref_loss),
+                                   rtol=2e-3, atol=1e-6)
+        for ours_k, ref_k in [("latent_l2_loss", "train/latent_l2_loss"),
+                              ("perceptual_loss", "train/perceptual_loss"),
+                              ("perceptual_loss_on_inputs",
+                               "train/perceptual_loss_on_inputs")]:
+            np.testing.assert_allclose(float(log[ours_k]),
+                                       float(ref_log[ref_k]),
+                                       rtol=2e-3, atol=1e-6, err_msg=ours_k)
