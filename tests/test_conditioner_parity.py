@@ -1,0 +1,190 @@
+"""GeneralConditioner ASSEMBLY parity: the reference's own forward /
+get_unconditional_conditioning (sgm/modules/encoders/modules.py:132-204) is
+executed with deterministic stub embedders, and our Conditioner must produce
+the same routing (input_key overrides + ndim fallback), the same concat
+ORDER on shared keys (KEY2CATDIM: vector d1 / crossattn d2 / concat d1 — all
+the feature axis, == -1 channels-last), force-zero semantics, and the
+ucg_rate=1.0 zeroing edge."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from reference_compat import install_reference  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def sgm():
+    return install_reference()
+
+
+def _make_ref_conditioner(sgm, specs):
+    """specs: list of (input_key, fn, ucg_rate). fn: tensor -> tensor."""
+    from sgm.modules.encoders.modules import (
+        AbstractEmbModel,
+        GeneralConditioner,
+    )
+
+    class StubEmb(AbstractEmbModel):
+        def __init__(self, fn):
+            super().__init__()
+            self.fn = fn
+            self.legacy_ucg_val = None
+
+        def forward(self, x):
+            return self.fn(x)
+
+    embs = []
+    for key, fn, ucg in specs:
+        e = StubEmb(fn)
+        e.input_key = key
+        e.ucg_rate = ucg
+        e.is_trainable = False
+        embs.append(e)
+
+    cond = GeneralConditioner.__new__(GeneralConditioner)
+    torch.nn.Module.__init__(cond)
+    cond.embedders = torch.nn.ModuleList(embs)
+    return cond
+
+
+def _make_our_conditioner(specs):
+    """Matching channels-last stubs for ccedit_tpu.conditioning.Conditioner."""
+    from ccedit_tpu.conditioning.conditioner import Conditioner, EmbedderSpec
+
+    class StubEmb:
+        wants_rng = False
+
+        def __init__(self, fn):
+            self.fn = fn
+
+        def prepare(self, val):
+            return val
+
+        def init_params(self, rng, prepared):
+            return {}
+
+        def embed(self, params, x):
+            return self.fn(x)
+
+    return Conditioner([
+        EmbedderSpec(embedder=StubEmb(fn), input_key=key, ucg_rate=ucg)
+        for key, fn, ucg in specs
+    ])
+
+
+# channel-position helpers: torch stubs see channels-first, ours channels-last
+def _t(x):  # np (B, ..., C) -> torch (B, C, ...)
+    perm = (0, x.ndim - 1) + tuple(range(1, x.ndim - 1))
+    return torch.from_numpy(np.ascontiguousarray(x.transpose(perm)))
+
+
+def _to_ours_layout(t):  # torch (B, C, ...) -> np (B, ..., C)
+    x = t.detach().numpy()
+    perm = (0,) + tuple(range(2, x.ndim)) + (1,)
+    return x.transpose(perm)
+
+
+class TestConditionerAssemblyParity:
+    @pytest.fixture(scope="class")
+    def batch(self):
+        rng = np.random.default_rng(42)
+        return {
+            # 2D -> vector; two embedders share the key space via outputs
+            "cls_vec": rng.standard_normal((2, 8)).astype(np.float32),
+            # 3D -> crossattn; TWO crossattn embedders pin concat order (d2)
+            "txt_feats": rng.standard_normal((2, 5, 16)).astype(np.float32),
+            "txt_feats2": rng.standard_normal((2, 5, 8)).astype(np.float32),
+            # 4D -> concat; two embedders pin channel-concat order (d1);
+            # arrays are channels-LAST here, transposed for the torch side
+            "concat_a": rng.standard_normal((2, 6, 6, 4)).astype(np.float32),
+            "concat_b": rng.standard_normal((2, 6, 6, 2)).astype(np.float32),
+            # input_key override routing
+            "control_hint": rng.standard_normal((2, 4, 6, 6, 3)).astype(np.float32),
+        }
+
+    # (input_key, torch fn, our fn, ucg)
+    SPEC_TABLE = [
+        ("cls_vec", lambda x: 2.0 * x, lambda x: 2.0 * x, 0.0),
+        ("txt_feats", lambda x: x + 1.0, lambda x: x + 1.0, 0.0),
+        ("txt_feats2", lambda x: 0.5 * x, lambda x: 0.5 * x, 0.0),
+        ("concat_a", lambda x: x - 0.25, lambda x: x - 0.25, 0.0),
+        ("concat_b", lambda x: x * -1.0, lambda x: x * -1.0, 0.0),
+        ("control_hint", lambda x: x, lambda x: x, 0.0),
+    ]
+
+    def _build(self, sgm, ucg_overrides=None):
+        ucg = dict(ucg_overrides or {})
+        ref_specs, our_specs = [], []
+        for key, tfn, jfn, rate in self.SPEC_TABLE:
+            rate = ucg.get(key, rate)
+            ref_specs.append((key, tfn, rate))
+            our_specs.append((key, jfn, rate))
+        return _make_ref_conditioner(sgm, ref_specs), _make_our_conditioner(our_specs)
+
+    def _torch_batch(self, batch):
+        tb = {}
+        for k, v in batch.items():
+            # txt feats are (B, L, D) on BOTH sides (crossattn layout);
+            # vector is (B, D); spatial keys go channels-first for torch
+            if v.ndim <= 3:
+                tb[k] = torch.from_numpy(v)
+            else:
+                tb[k] = _t(v)
+        return tb
+
+    def _compare(self, ref_out, our_out):
+        import jax.numpy as jnp  # noqa: F401
+
+        assert set(ref_out) == set(our_out), (set(ref_out), set(our_out))
+        for key, rv in ref_out.items():
+            ov = np.asarray(our_out[key])
+            if rv.dim() <= 3:
+                np.testing.assert_allclose(ov, rv.detach().numpy(),
+                                           rtol=1e-6, atol=1e-7,
+                                           err_msg=key)
+            else:
+                np.testing.assert_allclose(ov, _to_ours_layout(rv),
+                                           rtol=1e-6, atol=1e-7,
+                                           err_msg=key)
+
+    def test_routing_and_concat_order(self, sgm, batch):
+        ref, ours = self._build(sgm)
+        ref_out = ref(self._torch_batch(batch))
+        # routing: vector + crossattn(16+8 on feature axis) + concat(4+2 ch)
+        assert ref_out["crossattn"].shape == (2, 5, 24)
+        assert ref_out["concat"].shape == (2, 6, 6, 6)
+        our_out = ours({}, dict(batch))
+        self._compare(ref_out, our_out)
+
+    def test_unconditional_pair_with_force_zero(self, sgm, batch):
+        ref, ours = self._build(sgm)
+        batch_uc = dict(batch)
+        batch_uc["txt_feats"] = np.zeros_like(batch["txt_feats"]) + 0.1
+        c_ref, uc_ref = ref.get_unconditional_conditioning(
+            self._torch_batch(batch), self._torch_batch(batch_uc),
+            force_uc_zero_embeddings=["txt_feats2", "concat_a"])
+        c_ours, uc_ours = ours.get_unconditional_conditioning(
+            {}, dict(batch), dict(batch_uc),
+            force_uc_zero_keys=["txt_feats2", "concat_a"])
+        self._compare(c_ref, c_ours)
+        self._compare(uc_ref, uc_ours)
+        # the zeroed slice sits at the RIGHT position in the concat
+        assert np.allclose(np.asarray(uc_ours["crossattn"])[..., 16:], 0.0)
+        assert not np.allclose(np.asarray(uc_ours["crossattn"])[..., :16], 0.0)
+
+    def test_ucg_rate_one_zeroes(self, sgm, batch):
+        """ucg_rate=1.0 -> bernoulli(0) -> deterministic zeroing on both
+        sides (the probabilistic middle can't be pinned across RNGs)."""
+        import jax
+
+        ref, ours = self._build(sgm, ucg_overrides={"cls_vec": 1.0})
+        ref_out = ref(self._torch_batch(batch))
+        our_out = ours.embed({}, ours.prepare(dict(batch)),
+                             rng=jax.random.PRNGKey(0), apply_ucg=True)
+        assert np.allclose(ref_out["vector"].numpy(), 0.0)
+        assert np.allclose(np.asarray(our_out["vector"]), 0.0)
+        # the other keys are untouched
+        self._compare({k: v for k, v in ref_out.items() if k != "vector"},
+                      {k: v for k, v in our_out.items() if k != "vector"})
