@@ -111,3 +111,79 @@ class TestSigmaSamplerParity:
         np.testing.assert_allclose(
             np.asarray(ours.idx_to_sigma(idx.numpy())),
             ref.idx_to_sigma(idx).numpy(), rtol=1e-5, atol=1e-7)
+
+
+class TestScalingWeightingParity:
+    SIGMAS = np.logspace(-3, 2, 41).astype(np.float32)
+
+    @pytest.mark.parametrize("name,kw", [("eps", {}), ("v", {}),
+                                         ("edm", {"sigma_data": 0.5}),
+                                         ("edm", {"sigma_data": 1.3})])
+    def test_scalings(self, sgm, name, kw):
+        import sgm.modules.diffusionmodules.denoiser_scaling as ref_mod
+
+        from ccedit_tpu.diffusion import make_scaling
+
+        cls = {"eps": "EpsScaling", "v": "VScaling", "edm": "EDMScaling"}[name]
+        ref = getattr(ref_mod, cls)(**kw)
+        ours = make_scaling(name, **kw)
+        sig = torch.from_numpy(self.SIGMAS)
+        for r, o, label in zip(ref(sig), ours(self.SIGMAS),
+                               ("c_skip", "c_out", "c_in", "c_noise")):
+            np.testing.assert_allclose(np.asarray(o), r.numpy(), rtol=1e-6,
+                                       err_msg=f"{name} {label}")
+
+    @pytest.mark.parametrize("name,kw", [("unit", {}), ("eps", {}),
+                                         ("v", {}),
+                                         ("edm", {"sigma_data": 0.5})])
+    def test_weightings(self, sgm, name, kw):
+        import sgm.modules.diffusionmodules.denoiser_weighting as ref_mod
+
+        from ccedit_tpu.diffusion import make_weighting
+
+        cls = {"unit": "UnitWeighting", "eps": "EpsWeighting",
+               "v": "VWeighting", "edm": "EDMWeighting"}[name]
+        ref = getattr(ref_mod, cls)(**kw)
+        ours = make_weighting(name, **kw)
+        np.testing.assert_allclose(np.asarray(ours(self.SIGMAS)),
+                                   ref(torch.from_numpy(self.SIGMAS)).numpy(),
+                                   rtol=1e-6)
+
+
+class TestEmaParity:
+    """Our EmaState vs the reference's LitEma (sgm/modules/ema.py:5-53) over
+    an update trajectory that crosses the warmup ramp's min() crossover
+    ((1+n)/(10+n) vs decay=0.6 flips at n=12.5)."""
+
+    @pytest.mark.parametrize("use_num_updates", [True, False])
+    def test_shadow_trajectory(self, sgm, use_num_updates):
+        import jax
+        import jax.numpy as jnp
+
+        from sgm.modules.ema import LitEma
+
+        from ccedit_tpu.train.ema import EmaState
+
+        tm = torch.nn.Linear(4, 3)
+        ema = LitEma(tm, decay=0.6, use_num_upates=use_num_updates)
+        ours = EmaState.create(
+            {"w": jnp.asarray(tm.weight.detach().numpy()),
+             "b": jnp.asarray(tm.bias.detach().numpy())},
+            decay=0.6, use_num_updates=use_num_updates)
+
+        g = torch.Generator().manual_seed(9)
+        for step in range(16):
+            with torch.no_grad():
+                tm.weight += torch.randn(tm.weight.shape, generator=g) * 0.1
+                tm.bias += torch.randn(tm.bias.shape, generator=g) * 0.1
+            ema(tm)
+            ours = jax.jit(EmaState.update)(
+                ours, {"w": jnp.asarray(tm.weight.detach().numpy()),
+                       "b": jnp.asarray(tm.bias.detach().numpy())})
+            shadows = dict(ema.named_buffers())
+            np.testing.assert_allclose(
+                np.asarray(ours.shadow["w"]), shadows["weight"].numpy(),
+                rtol=1e-5, atol=1e-7, err_msg=f"step {step}")
+            np.testing.assert_allclose(
+                np.asarray(ours.shadow["b"]), shadows["bias"].numpy(),
+                rtol=1e-5, atol=1e-7, err_msg=f"step {step}")
