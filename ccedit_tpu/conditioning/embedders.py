@@ -216,15 +216,22 @@ class SpatialRescaler(Embedder):
 
 
 class LowScaleEncoder(Embedder):
-    """Noise-augmentation conditioning (modules.py:849-941): rescale the
-    input, q-sample it at a random DDPM timestep, return the noised latent;
-    the timestep is emitted separately for vector conditioning (the SD
-    upscaler recipe).  Host supplies rng via prepare_rng for determinism."""
+    """Noise-augmentation conditioning (modules.py:849-941, the SD upscaler
+    recipe): multiply the latent by ``scale_factor``, q-sample it at a random
+    DDPM timestep (forward :925-938), then nearest-resize to ``out_size``
+    (:934-935; exact for integer ratios — torch's legacy-nearest and jax's
+    half-pixel nearest agree there, the reference's own comment shows
+    repeat_interleave).  The reference encodes through its own first-stage
+    model first; here the input is the latent (compose with VAEEmbedder for
+    pixel input).  The timestep is kept on ``last_noise_level`` for vector
+    conditioning.  ``noise_override``/``t_override`` replace the host draws
+    (SURVEY §7.1 injection pattern)."""
 
     def __init__(
         self,
         max_noise_level: int = 250,
-        factor: float = 0.5,
+        out_size: Optional[int] = None,
+        scale_factor: float = 1.0,
         num_timesteps: int = 1000,
         linear_start: float = 0.00085,
         linear_end: float = 0.0120,
@@ -233,18 +240,22 @@ class LowScaleEncoder(Embedder):
         from ..diffusion.discretization import make_ddpm_alphas_cumprod
 
         self.max_noise_level = max_noise_level
-        self.factor = factor
+        self.out_size = out_size
+        self.scale_factor = scale_factor
         abar = make_ddpm_alphas_cumprod(num_timesteps, linear_start, linear_end)
         self.sqrt_abar = np.sqrt(abar).astype(np.float32)
         self.sqrt_1m_abar = np.sqrt(1.0 - abar).astype(np.float32)
         self._rng = np.random.default_rng(seed)
         self.last_noise_level = None
 
-    def prepare(self, value):
-        x = np.asarray(value)
+    def prepare(self, value, noise_override=None, t_override=None):
+        x = np.asarray(value, dtype=np.float32) * self.scale_factor
         b = x.shape[0]
-        t = self._rng.integers(0, self.max_noise_level, size=(b,))
-        noise = self._rng.standard_normal(x.shape).astype(np.float32)
+        t = (np.asarray(t_override, dtype=np.int64) if t_override is not None
+             else self._rng.integers(0, self.max_noise_level, size=(b,)))
+        noise = (np.asarray(noise_override, dtype=np.float32)
+                 if noise_override is not None
+                 else self._rng.standard_normal(x.shape).astype(np.float32))
         self.last_noise_level = t.astype(np.int32)
         lead = (...,) + (None,) * (x.ndim - 1)
         noised = (
@@ -254,12 +265,11 @@ class LowScaleEncoder(Embedder):
 
     def embed(self, params, prepared):
         x = jnp.asarray(prepared)
-        if self.factor and self.factor != 1.0:
+        if self.out_size is not None:
             shape = list(x.shape)
             h_ax, w_ax = x.ndim - 3, x.ndim - 2
-            shape[h_ax] = int(shape[h_ax] * self.factor)
-            shape[w_ax] = int(shape[w_ax] * self.factor)
-            x = jax.image.resize(x, shape, method="bilinear")
+            shape[h_ax] = shape[w_ax] = int(self.out_size)
+            x = jax.image.resize(x, shape, method="nearest")
         return x
 
 

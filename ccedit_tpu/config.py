@@ -365,7 +365,11 @@ def _build_embedder(emb_cfg: Dict, asset_dir: Optional[str], dtype):
     if name == "LowScaleEncoder":
         return E.LowScaleEncoder(
             max_noise_level=p.get("max_noise_level", 250),
-            factor=p.get("factor", 0.5),
+            out_size=p.get("output_size"),
+            scale_factor=p.get("scale_factor", 1.0),
+            num_timesteps=p.get("timesteps", 1000),
+            linear_start=p.get("linear_start", 0.00085),
+            linear_end=p.get("linear_end", 0.0120),
         )
     if name == "SpatialRescaler":
         return E.SpatialRescaler(p.get("factor", 0.5), p.get("method", "bilinear"))

@@ -188,3 +188,68 @@ class TestConditionerAssemblyParity:
         # the other keys are untouched
         self._compare({k: v for k, v in ref_out.items() if k != "vector"},
                       {k: v for k, v in our_out.items() if k != "vector"})
+
+
+class TestLowScaleEncoderParity:
+    """LowScaleEncoder (modules.py:849-941) oracle-pinned: the reference's
+    real register_schedule/q_sample/forward run with an identity first-stage
+    model, injected timesteps + noise, integer-ratio nearest upsample."""
+
+    def test_qsample_and_resize(self, sgm):
+        from unittest import mock
+
+        import torch as _torch
+
+        from sgm.modules.encoders.modules import LowScaleEncoder as RefLSE
+
+        from ccedit_tpu.conditioning.embedders import LowScaleEncoder
+
+        ref = RefLSE.__new__(RefLSE)
+        torch.nn.Module.__init__(ref)
+        ref.max_noise_level = 250
+
+        class _IdentityModel:
+            @staticmethod
+            def encode(x):
+                return x
+
+        ref.model = _IdentityModel()
+        # The reference's register_schedule (modules.py:877-883) passes
+        # cosine_s to its own make_beta_schedule, whose signature
+        # (diffusionmodules/util.py:24-28) does not accept it — a latent
+        # reference bug (LowScaleEncoder is unused in the shipped configs;
+        # the linear schedule ignores cosine_s anyway).  Shim it off.
+        import sgm.modules.encoders.modules as _ref_mod
+        from sgm.modules.diffusionmodules.util import make_beta_schedule as _mbs
+
+        with mock.patch.object(
+                _ref_mod, "make_beta_schedule",
+                lambda schedule, n, cosine_s=None, **k: _mbs(schedule, n, **k)):
+            ref.register_schedule(timesteps=1000, linear_start=0.00085,
+                                  linear_end=0.0120)
+        ref.out_size = 16
+        ref.scale_factor = 0.18215
+
+        rng = np.random.default_rng(31)
+        x = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+        noise = rng.standard_normal(x.shape).astype(np.float32)
+        t = np.array([17, 201], dtype=np.int64)
+
+        with mock.patch.object(
+                _torch, "randint",
+                lambda *a, **k: torch.from_numpy(t)), \
+             mock.patch.object(
+                _torch, "randn_like",
+                lambda *a, **k: torch.from_numpy(noise)):
+            z_ref, lvl_ref = ref(torch.from_numpy(x))
+
+        ours = LowScaleEncoder(max_noise_level=250, out_size=16,
+                               scale_factor=0.18215)
+        prepared = ours.prepare(x.transpose(0, 2, 3, 1),
+                                noise_override=noise.transpose(0, 2, 3, 1),
+                                t_override=t)
+        out = np.asarray(ours.embed(None, prepared))
+        np.testing.assert_allclose(out.transpose(0, 3, 1, 2),
+                                   z_ref.numpy(), rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(ours.last_noise_level,
+                                      lvl_ref.numpy().astype(np.int32))

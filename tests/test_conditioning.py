@@ -138,13 +138,13 @@ class TestLowScaleEncoder:
     def test_qsample_noise_aug_and_rescale(self):
         from ccedit_tpu.conditioning.embedders import LowScaleEncoder
 
-        e = LowScaleEncoder(max_noise_level=250, factor=0.5, seed=0)
+        e = LowScaleEncoder(max_noise_level=250, out_size=8, scale_factor=0.18,
+                            seed=0)
         x = np.ones((2, 16, 16, 3), dtype=np.float32)
         noised = e.prepare(x)
         assert noised.shape == x.shape
         assert e.last_noise_level.shape == (2,)
         assert (e.last_noise_level < 250).all()
-        # q-sample shrinks the clean signal: mean below 1 for t>0
         out = e.embed(None, noised)
         assert out.shape == (2, 8, 8, 3)
 
