@@ -48,17 +48,46 @@ class Embedder:
         raise NotImplementedError
 
 
+def _torch_resize_hw(x: jnp.ndarray, out_h: int, out_w: int,
+                     method: str = "bilinear") -> jnp.ndarray:
+    """Resize the trailing (H, W, C) axes with torch F.interpolate semantics.
+
+    torch never antialiases (its bilinear/trilinear at align_corners=False is
+    a plain half-pixel triangle kernel), while jax.image.resize defaults to
+    antialias=True on downsampling — so every torch-parity resize must pass
+    antialias=False.  torch's legacy 'nearest' picks floor(dst * in/out)
+    (recompute_scale_factor semantics), NOT the half-pixel rounding jax uses,
+    so it is done with an explicit index gather.  'area' (adaptive avg pool)
+    is exact mean pooling for integer ratios."""
+    h_ax, w_ax = x.ndim - 3, x.ndim - 2
+    shape = list(x.shape)
+    in_h, in_w = shape[h_ax], shape[w_ax]
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    if method == "nearest":
+        iy = jnp.floor(jnp.arange(out_h) * (in_h / out_h)).astype(jnp.int32)
+        ix = jnp.floor(jnp.arange(out_w) * (in_w / out_w)).astype(jnp.int32)
+        x = jnp.take(x, jnp.clip(iy, 0, in_h - 1), axis=h_ax)
+        return jnp.take(x, jnp.clip(ix, 0, in_w - 1), axis=w_ax)
+    if method == "area" and in_h % out_h == 0 and in_w % out_w == 0:
+        fh, fw = in_h // out_h, in_w // out_w
+        new = shape[:h_ax] + [out_h, fh, out_w, fw] + shape[w_ax + 1:]
+        return x.reshape(new).mean(axis=(h_ax + 1, h_ax + 3))
+    shape[h_ax], shape[w_ax] = out_h, out_w
+    jmethod = {"bilinear": "linear", "trilinear": "linear"}.get(method, method)
+    return jax.image.resize(x, shape, method=jmethod, antialias=False)
+
+
 def _down_blur(x: jnp.ndarray, factor: float) -> jnp.ndarray:
-    """Down+up bilinear resize over the trailing (H, W, C) spatial axes."""
+    """Down+up bilinear resize over the trailing (H, W, C) spatial axes,
+    exactly the reference's interpolate(size=(h//f, w//f)) then back
+    (modules.py:1060-1073) — no antialias, half-pixel bilinear."""
     if factor <= 1.0:
         return x
-    shape = list(x.shape)
     h_ax, w_ax = x.ndim - 3, x.ndim - 2
-    small = list(shape)
-    small[h_ax] = int(shape[h_ax] / factor)
-    small[w_ax] = int(shape[w_ax] / factor)
-    x = jax.image.resize(x, small, method="bilinear")
-    return jax.image.resize(x, shape, method="bilinear")
+    h, w = x.shape[h_ax], x.shape[w_ax]
+    x = _torch_resize_hw(x, int(h / factor), int(w / factor), "bilinear")
+    return _torch_resize_hw(x, h, w, "bilinear")
 
 
 def _select_down_blur(x, factors, probs, rng, host_rng):
@@ -117,24 +146,30 @@ class IdentityEncoder(Embedder):
 
 
 class CustomIdentityEncoder(Embedder):
-    """Identity with optional fixed down-blur augmentation (inference uses
-    downsample_factor=1 => pure identity; the random training augmentation is
-    sampled host-side via prepare_augmented)."""
+    """Identity with the reference's random down-blur augmentation
+    (modules.py:1026-1114): a factor drawn from ``down_blur_factor`` (probs
+    ``down_blur_probs``, uniform default), then interpolate down to
+    (int(h/f), int(w/f)) and back — bilinear for images, trilinear with T
+    untouched for videos (identical to per-frame bilinear at half-pixel
+    centers).  With no factor list it is a pure identity (inference).
+    ``downsample_factor`` keeps the fixed-factor form for direct use."""
 
-    def __init__(self, downsample_factor: int = 1):
+    def __init__(self, down_blur_factor=None, down_blur_probs=None,
+                 downsample_factor: int = 1, seed: int = 0):
+        self.down_blur_factor = list(down_blur_factor or [])
+        self.down_blur_probs = list(down_blur_probs or [])
         self.downsample_factor = downsample_factor
+        self._rng = np.random.default_rng(seed)
+        self.wants_rng = bool(self.down_blur_factor)
 
-    def embed(self, params, prepared):
+    def embed(self, params, prepared, rng=None):
         x = as_float_frames(prepared)
-        f = self.downsample_factor
-        if f and f > 1:
-            shape = list(x.shape)
-            h_ax, w_ax = x.ndim - 3, x.ndim - 2
-            small = list(shape)
-            small[h_ax] //= f
-            small[w_ax] //= f
-            x = jax.image.resize(x, small, method="bilinear")
-            x = jax.image.resize(x, shape, method="bilinear")
+        if self.down_blur_factor:
+            x, _ = _select_down_blur(x, self.down_blur_factor,
+                                     self.down_blur_probs, rng, self._rng)
+            return x
+        if self.downsample_factor and self.downsample_factor > 1:
+            x = _down_blur(x, float(self.downsample_factor))
         return x
 
 
@@ -187,9 +222,14 @@ class ConcatTimestepEmbedderND(Embedder):
 
 
 class ClassEmbedder(Embedder):
-    def __init__(self, embed_dim: int, n_classes: int = 1000):
+    """modules.py:241-260: nn.Embedding lookup; class n_classes-1 is reserved
+    as the unconditional (ucg) class."""
+
+    def __init__(self, embed_dim: int, n_classes: int = 1000,
+                 add_sequence_dim: bool = False):
         self.embed_dim = embed_dim
         self.n_classes = n_classes
+        self.add_sequence_dim = add_sequence_dim
 
     def init_params(self, rng, prepared):
         return {
@@ -198,21 +238,62 @@ class ClassEmbedder(Embedder):
 
     def embed(self, params, prepared):
         idx = jnp.asarray(prepared, dtype=jnp.int32)
-        return params["embedding"][idx]
+        c = params["embedding"][idx]
+        if self.add_sequence_dim:
+            c = c[:, None, :]
+        return c
+
+    def get_unconditional_conditioning(self, bs: int):
+        return np.full((bs,), self.n_classes - 1, dtype=np.int64)
 
 
 class SpatialRescaler(Embedder):
-    def __init__(self, factor: float = 0.5, method: str = "bilinear"):
+    """modules.py:789-846: n_stages × interpolate(scale_factor=multiplier)
+    with torch semantics (floor output size per stage, no antialias, legacy
+    nearest), then an optional 1×..k×k channel-mapper conv.  Video input
+    (B,T,H,W,C) needs no wrap_video shuffle in channels-last layout — the
+    resize already runs per frame."""
+
+    def __init__(self, factor: float = 0.5, method: str = "bilinear",
+                 n_stages: int = 1, out_channels: Optional[int] = None,
+                 kernel_size: int = 1, bias: bool = False):
+        assert n_stages >= 0
         self.factor = factor
         self.method = method
+        self.n_stages = n_stages
+        self.out_channels = out_channels
+        self.kernel_size = kernel_size
+        self.bias = bias
+
+    def init_params(self, rng, prepared):
+        if self.out_channels is None:
+            return None
+        c_in = np.asarray(prepared).shape[-1]
+        k = self.kernel_size
+        w = jax.nn.initializers.lecun_normal()(
+            rng, (k, k, c_in, self.out_channels), jnp.float32)
+        p = {"kernel": w}
+        if self.bias:
+            p["bias"] = jnp.zeros((self.out_channels,), jnp.float32)
+        return p
 
     def embed(self, params, prepared):
         x = jnp.asarray(prepared)
-        shape = list(x.shape)
-        h_ax, w_ax = x.ndim - 3, x.ndim - 2
-        shape[h_ax] = int(shape[h_ax] * self.factor)
-        shape[w_ax] = int(shape[w_ax] * self.factor)
-        return jax.image.resize(x, shape, method=self.method)
+        for _ in range(self.n_stages):
+            h_ax, w_ax = x.ndim - 3, x.ndim - 2
+            x = _torch_resize_hw(
+                x, int(x.shape[h_ax] * self.factor),
+                int(x.shape[w_ax] * self.factor), self.method)
+        if self.out_channels is not None:
+            lead = x.shape[:-3]
+            xf = x.reshape((-1,) + x.shape[-3:])
+            xf = jax.lax.conv_general_dilated(
+                xf, params["kernel"], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if self.bias:
+                xf = xf + params["bias"]
+            x = xf.reshape(lead + xf.shape[1:])
+        return x
 
 
 class LowScaleEncoder(Embedder):
@@ -274,49 +355,116 @@ class LowScaleEncoder(Embedder):
 
 
 class GaussianEncoder(Embedder):
-    """Samples noise shaped like the input (train-time aug)."""
+    """modules.py:963-979: a trainable VAE-style Encoder whose moments feed a
+    DiagonalGaussian; the SAMPLE is the conditioning (flattened to
+    (B, H·W, C) when flatten_output).  The reference returns the KL in a log
+    dict as an aux loss; here ``embed_with_kl`` returns ``(z, kl)`` as a
+    functional output (mutable aux state on ``self`` would leak tracers under
+    jit).  With no rng the posterior mode is used (deterministic eval);
+    ``noise_override`` in embed injects the reparam noise for parity tests."""
 
-    def __init__(self, sigma: float = 1.0):
-        self.sigma = sigma
+    wants_rng = True
 
-    def embed(self, params, prepared):
-        return jnp.asarray(prepared)  # noise added by loss pipeline
+    def __init__(self, weight: float = 1.0, flatten_output: bool = True,
+                 dtype=jnp.float32, **encoder_kwargs):
+        from ..modules.vae import Encoder as VAEEncoder
+
+        self.model = VAEEncoder(dtype=dtype, **encoder_kwargs)
+        self.weight = weight
+        self.flatten_output = flatten_output
+
+    def init_params(self, rng, prepared):
+        return self.model.init(rng, jnp.asarray(prepared))["params"]
+
+    def embed_with_kl(self, params, prepared, rng=None, noise_override=None):
+        from ..modules.vae import DiagonalGaussian
+
+        moments = self.model.apply({"params": params}, jnp.asarray(prepared))
+        post = DiagonalGaussian(moments)
+        if noise_override is not None:
+            z = post.mean + post.std * jnp.asarray(noise_override)
+        elif rng is not None:
+            z = post.sample(rng)
+        else:
+            z = post.mode()
+        kl = post.kl()
+        if self.flatten_output:
+            b, h, w, c = z.shape
+            z = z.reshape(b, h * w, c)
+        return z, kl
+
+    def embed(self, params, prepared, rng=None, noise_override=None):
+        z, _ = self.embed_with_kl(params, prepared, rng=rng,
+                                  noise_override=noise_override)
+        return z
 
 
-def _rect_mask(shape_bthw1, rng: np.random.Generator, lo=0.25, hi=0.75):
-    b, t, h, w, _ = shape_bthw1
-    mask = np.zeros((b, 1, h, w, 1), dtype=np.float32)
-    for i in range(b):
-        mh = int(h * rng.uniform(lo, hi))
-        mw = int(w * rng.uniform(lo, hi))
-        y0 = rng.integers(0, h - mh + 1)
-        x0 = rng.integers(0, w - mw + 1)
-        mask[i, 0, y0 : y0 + mh, x0 : x0 + mw, 0] = 1.0
-    return np.broadcast_to(mask, shape_bthw1).copy()
+def _band_bounds(h, w, ratio_min, ratio_max, draws):
+    """The reference's 4-draw centered-band rectangle (modules.py:2318-2321,
+    2356-2359): start = int((u*range+min)*dim), end = int((1-(u*range+min))*dim),
+    one shared rectangle per call (torch.rand(1), not per batch item)."""
+    r = ratio_max - ratio_min
+    h0 = int((draws[0] * r + ratio_min) * h)
+    h1 = int((1.0 - (draws[1] * r + ratio_min)) * h)
+    w0 = int((draws[2] * r + ratio_min) * w)
+    w1 = int((1.0 - (draws[3] * r + ratio_min)) * w)
+    return h0, h1, w0, w1
 
 
 class InpaintingEncoder(Embedder):
-    """Random rect mask -> masked video hint (modules.py:2301-2338).
-    Mask sampled host-side in prepare() for determinism under jit."""
+    """Inpainting hint (modules.py:2301-2338): one shared centre-band rect per
+    call; x -> (x+1)/2, the hole is set to -1, then the whole tensor is
+    negated — kept pixels land in [-1, 0], the hole at +1.  (The reference
+    deliberately never rescales the kept region back; replicated exactly.)
+    Mask drawn host-side in prepare() for determinism under jit;
+    ``rand_override`` injects the 4 uniform draws for parity tests."""
 
-    def __init__(self, seed: int = 0, outpaint: bool = False):
+    def __init__(self, mask_ratio_min: float = 0.3, mask_ratio_max: float = 0.5,
+                 seed: int = 0):
+        assert 0 <= mask_ratio_min < mask_ratio_max <= 0.5
+        self.mask_ratio_min = mask_ratio_min
+        self.mask_ratio_max = mask_ratio_max
         self.rng = np.random.default_rng(seed)
-        self.outpaint = outpaint
 
-    def prepare(self, value):
-        x = np.asarray(value)
-        mask = _rect_mask(x.shape[:4] + (1,), self.rng)
-        if self.outpaint:
-            mask = 1.0 - mask
-        return x * (1.0 - mask) + (-1.0) * mask  # masked region = -1 (black)
+    def prepare(self, value, rand_override=None):
+        x = np.asarray(value, dtype=np.float32)
+        draws = (np.asarray(rand_override, np.float32)
+                 if rand_override is not None else self.rng.random(4))
+        h, w = x.shape[-3], x.shape[-2]
+        h0, h1, w0, w1 = _band_bounds(h, w, self.mask_ratio_min,
+                                      self.mask_ratio_max, draws)
+        out = (x + 1.0) / 2.0
+        out[..., h0:h1, w0:w1, :] = -1.0
+        return -out
 
     def embed(self, params, prepared):
         return jnp.asarray(prepared)
 
 
-class OutpaintingEncoder(InpaintingEncoder):
-    def __init__(self, seed: int = 0):
-        super().__init__(seed=seed, outpaint=True)
+class OutpaintingEncoder(Embedder):
+    """Outpainting hint (modules.py:2343-2374): keep the centre band as -x,
+    everything outside becomes +1 ((x+1)/2 * mask * 2 - 1, negated)."""
+
+    def __init__(self, mask_ratio_min: float = 0.0, mask_ratio_max: float = 0.4,
+                 seed: int = 0):
+        assert 0 <= mask_ratio_min < mask_ratio_max <= 0.5
+        self.mask_ratio_min = mask_ratio_min
+        self.mask_ratio_max = mask_ratio_max
+        self.rng = np.random.default_rng(seed)
+
+    def prepare(self, value, rand_override=None):
+        x = np.asarray(value, dtype=np.float32)
+        draws = (np.asarray(rand_override, np.float32)
+                 if rand_override is not None else self.rng.random(4))
+        h, w = x.shape[-3], x.shape[-2]
+        h0, h1, w0, w1 = _band_bounds(h, w, self.mask_ratio_min,
+                                      self.mask_ratio_max, draws)
+        mask = np.zeros(x.shape, np.float32)
+        mask[..., h0:h1, w0:w1, :] = 1.0
+        return -(((x + 1.0) / 2.0) * mask * 2.0 - 1.0)
+
+    def embed(self, params, prepared):
+        return jnp.asarray(prepared)
 
 
 EMBEDDERS = {

@@ -351,7 +351,11 @@ def _build_embedder(emb_cfg: Dict, asset_dir: Optional[str], dtype):
     if name in ("IdentityEncoder",):
         return E.IdentityEncoder()
     if name in ("CustomIdentityEncoder",):
-        return E.CustomIdentityEncoder(p.get("downsample_factor", 1))
+        return E.CustomIdentityEncoder(
+            down_blur_factor=p.get("down_blur_factor"),
+            down_blur_probs=p.get("down_blur_probs"),
+            downsample_factor=p.get("downsample_factor", 1),
+        )
     if name == "CustomIdentityDownCondEncoder":
         return E.CustomIdentityDownCondEncoder(
             outdim=p.get("outdim", 256),
@@ -361,7 +365,8 @@ def _build_embedder(emb_cfg: Dict, asset_dir: Optional[str], dtype):
     if name == "ConcatTimestepEmbedderND":
         return E.ConcatTimestepEmbedderND(p.get("outdim", 256))
     if name == "ClassEmbedder":
-        return E.ClassEmbedder(p.get("embed_dim", 512), p.get("n_classes", 1000))
+        return E.ClassEmbedder(p.get("embed_dim", 512), p.get("n_classes", 1000),
+                               add_sequence_dim=p.get("add_sequence_dim", False))
     if name == "LowScaleEncoder":
         return E.LowScaleEncoder(
             max_noise_level=p.get("max_noise_level", 250),
@@ -372,11 +377,33 @@ def _build_embedder(emb_cfg: Dict, asset_dir: Optional[str], dtype):
             linear_end=p.get("linear_end", 0.0120),
         )
     if name == "SpatialRescaler":
-        return E.SpatialRescaler(p.get("factor", 0.5), p.get("method", "bilinear"))
+        return E.SpatialRescaler(
+            p.get("multiplier", p.get("factor", 0.5)),
+            p.get("method", "bilinear"),
+            n_stages=p.get("n_stages", 1),
+            out_channels=p.get("out_channels"),
+            kernel_size=p.get("kernel_size", 1),
+            bias=p.get("bias", False),
+        )
     if name == "InpaintingEncoder":
-        return E.InpaintingEncoder()
+        return E.InpaintingEncoder(
+            mask_ratio_min=p.get("mask_ratio_min", 0.3),
+            mask_ratio_max=p.get("mask_ratio_max", 0.5),
+        )
     if name == "OutpaintingEncoder":
-        return E.OutpaintingEncoder()
+        return E.OutpaintingEncoder(
+            mask_ratio_min=p.get("mask_ratio_min", 0.0),
+            mask_ratio_max=p.get("mask_ratio_max", 0.4),
+        )
+    if name == "GaussianEncoder":
+        enc_keys = ("ch", "ch_mult", "num_res_blocks", "attn_resolutions",
+                    "in_channels", "z_channels", "double_z", "resolution")
+        return E.GaussianEncoder(
+            weight=p.get("weight", 1.0),
+            flatten_output=p.get("flatten_output", True),
+            dtype=dtype,
+            **{k: p[k] for k in enc_keys if k in p},
+        )
     if name == "FrozenT5Embedder":
         return E.T5TextEmbedder(
             version=p.get("version", "google/t5-v1_1-xxl"),

@@ -81,7 +81,13 @@ def install_reference():
 
     _stub("omegaconf", ["ListConfig", "OmegaConf", "DictConfig"])
     _stub("omegaconf.listconfig", ["ListConfig"])
+    # a real list subclass: CustomIdentityEncoder (modules.py:1032) asserts
+    # `x.__class__ == omegaconf.listconfig.ListConfig` then iterates it
+    if not issubclass(sys.modules["omegaconf"].ListConfig, list):
+        sys.modules["omegaconf"].ListConfig = type("ListConfig", (list,), {})
     sys.modules["omegaconf.listconfig"].ListConfig = sys.modules["omegaconf"].ListConfig
+    # the reference spells it `omegaconf.listconfig.ListConfig` (modules.py:1031)
+    sys.modules["omegaconf"].listconfig = sys.modules["omegaconf.listconfig"]
     _stub("pytorch_lightning", ["LightningDataModule", "LightningModule", "Callback", "Trainer"])
     _stub("pytorch_lightning.utilities", [])
     _stub("pytorch_lightning.utilities.distributed", [])

@@ -253,3 +253,203 @@ class TestLowScaleEncoderParity:
                                    z_ref.numpy(), rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(ours.last_noise_level,
                                       lvl_ref.numpy().astype(np.int32))
+
+
+class TestSmallEmbedderParity:
+    """The small embedder zoo oracle-pinned against the reference classes
+    (modules.py): ClassEmbedder lookup, ConcatTimestepEmbedderND Fourier
+    concat, SpatialRescaler interpolate semantics (torch never antialiases;
+    legacy nearest is floor-indexed), CustomIdentityEncoder(+DownCond)
+    down-blur augmentation, Inpainting/Outpainting band masks, and the
+    GaussianEncoder VAE posterior with converted weights + injected noise."""
+
+    def test_class_embedder(self, sgm):
+        from sgm.modules.encoders.modules import ClassEmbedder as RefCE
+
+        from ccedit_tpu.conditioning.embedders import ClassEmbedder
+
+        ref = RefCE(embed_dim=16, n_classes=10, add_sequence_dim=True)
+        idx = np.array([0, 3, 9], dtype=np.int64)
+        with torch.no_grad():
+            out_ref = ref(torch.from_numpy(idx)).numpy()
+
+        ours = ClassEmbedder(16, n_classes=10, add_sequence_dim=True)
+        params = {"embedding": ref.embedding.weight.detach().numpy()}
+        out = np.asarray(ours.embed(params, idx))
+        np.testing.assert_allclose(out, out_ref, rtol=1e-6, atol=1e-7)
+        # ucg class is n_classes - 1 (modules.py:253-260)
+        assert (ours.get_unconditional_conditioning(4) == 9).all()
+
+    def test_concat_timestep_embedder(self, sgm):
+        from sgm.modules.encoders.modules import (
+            ConcatTimestepEmbedderND as RefCT,
+        )
+
+        from ccedit_tpu.conditioning.embedders import ConcatTimestepEmbedderND
+
+        ref = RefCT(outdim=32)
+        x = np.array([[512.0, 768.0], [0.0, 3.5]], dtype=np.float32)
+        with torch.no_grad():
+            out_ref = ref(torch.from_numpy(x)).numpy()
+        out = np.asarray(ConcatTimestepEmbedderND(32).embed(None, x))
+        np.testing.assert_allclose(out, out_ref, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("method,mult,stages", [
+        ("bilinear", 0.5, 1),
+        ("bilinear", 0.5, 2),
+        ("bilinear", 0.75, 1),   # non-integer ratio: half-pixel, no antialias
+        ("nearest", 0.5, 1),     # torch legacy nearest = floor indexing
+        ("area", 0.5, 1),        # adaptive mean pool at integer ratio
+    ])
+    def test_spatial_rescaler_methods(self, sgm, method, mult, stages):
+        from sgm.modules.encoders.modules import SpatialRescaler as RefSR
+
+        from ccedit_tpu.conditioning.embedders import SpatialRescaler
+
+        ref = RefSR(n_stages=stages, method=method, multiplier=mult)
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            out_ref = ref(_t(x))
+        ours = SpatialRescaler(mult, method, n_stages=stages)
+        out = np.asarray(ours.embed(None, x))
+        np.testing.assert_allclose(
+            out, _to_ours_layout(out_ref), rtol=1e-5, atol=1e-6)
+
+    def test_spatial_rescaler_channel_mapper(self, sgm):
+        from sgm.modules.encoders.modules import SpatialRescaler as RefSR
+
+        from ccedit_tpu.conditioning.embedders import SpatialRescaler
+
+        ref = RefSR(n_stages=1, method="bilinear", multiplier=0.5,
+                    in_channels=3, out_channels=5, bias=True, kernel_size=3)
+        rng = np.random.default_rng(6)
+        x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            out_ref = ref(_t(x))
+        ours = SpatialRescaler(0.5, "bilinear", n_stages=1, out_channels=5,
+                               kernel_size=3, bias=True)
+        params = {
+            "kernel": ref.channel_mapper.weight.detach().numpy().transpose(2, 3, 1, 0),
+            "bias": ref.channel_mapper.bias.detach().numpy(),
+        }
+        out = np.asarray(ours.embed(params, x))
+        np.testing.assert_allclose(
+            out, _to_ours_layout(out_ref), rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("video", [False, True])
+    def test_custom_identity_down_blur(self, sgm, video):
+        from omegaconf.listconfig import ListConfig as LC
+
+        from sgm.modules.encoders.modules import CustomIdentityEncoder as RefCI
+
+        from ccedit_tpu.conditioning.embedders import CustomIdentityEncoder
+
+        ref = RefCI(down_blur_factor=LC([2.0]))  # single factor: choice is det.
+        rng = np.random.default_rng(7)
+        if video:
+            x = rng.standard_normal((2, 5, 16, 16, 3)).astype(np.float32)
+            xt = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))  # B C T H W
+        else:
+            x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+            xt = _t(x)
+        with torch.no_grad():
+            out_ref = ref(xt).numpy()
+        out_ref = (out_ref.transpose(0, 2, 3, 4, 1) if video
+                   else out_ref.transpose(0, 2, 3, 1))
+
+        ours = CustomIdentityEncoder(down_blur_factor=[2.0])
+        out = np.asarray(ours.embed(None, x))
+        np.testing.assert_allclose(out, out_ref, rtol=1e-5, atol=1e-6)
+
+    def test_custom_identity_down_cond(self, sgm):
+        from omegaconf.listconfig import ListConfig as LC
+
+        from sgm.modules.encoders.modules import (
+            CustomIdentityDownCondEncoder as RefDC,
+        )
+
+        from ccedit_tpu.conditioning.embedders import (
+            CustomIdentityDownCondEncoder,
+        )
+
+        ref = RefDC(outdim=8, down_blur_factor=LC([2.0]))
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((2, 5, 16, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            out_ref = ref(torch.from_numpy(x.transpose(0, 4, 1, 2, 3))).numpy()
+
+        ours = CustomIdentityDownCondEncoder(outdim=8, down_blur_factor=[2.0])
+        out = np.asarray(ours.embed(None, x))
+        np.testing.assert_allclose(
+            out, out_ref.transpose(0, 2, 3, 4, 1), rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("kind", ["inpaint", "outpaint"])
+    def test_paint_encoders(self, sgm, kind):
+        from unittest import mock
+
+        from sgm.modules.encoders.modules import (
+            InpaintingEncoder as RefIn,
+            OutpaintingEncoder as RefOut,
+        )
+
+        from ccedit_tpu.conditioning.embedders import (
+            InpaintingEncoder,
+            OutpaintingEncoder,
+        )
+
+        draws = np.array([0.12, 0.77, 0.33, 0.91], dtype=np.float32)
+        seq = [torch.tensor([float(v)]) for v in draws]
+        ref = RefIn() if kind == "inpaint" else RefOut()
+        ours = (InpaintingEncoder() if kind == "inpaint"
+                else OutpaintingEncoder())
+
+        rng = np.random.default_rng(9)
+        x = rng.uniform(-1, 1, (2, 3, 16, 20, 3)).astype(np.float32)
+        with mock.patch.object(torch, "rand", side_effect=seq):
+            out_ref = ref(torch.from_numpy(x.transpose(0, 4, 1, 2, 3))).numpy()
+
+        out = ours.prepare(x, rand_override=draws)
+        np.testing.assert_allclose(
+            out, out_ref.transpose(0, 2, 3, 4, 1), rtol=1e-6, atol=1e-7)
+
+    def test_gaussian_encoder(self, sgm):
+        from unittest import mock
+
+        from reference_compat import randomize_state_dict
+
+        from sgm.modules.encoders.modules import GaussianEncoder as RefGE
+
+        from ccedit_tpu.conditioning.embedders import GaussianEncoder
+        from ccedit_tpu.io.torch_convert import convert_vae
+
+        dd = dict(double_z=True, z_channels=4, resolution=16, in_channels=3,
+                  out_ch=3, ch=32, ch_mult=[1, 2], num_res_blocks=1,
+                  attn_resolutions=[], dropout=0.0)
+        ref = RefGE(weight=1.0, flatten_output=True, **dd).eval()
+        randomize_state_dict(ref, seed=21)
+
+        rng = np.random.default_rng(22)
+        x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+        noise = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+        with torch.no_grad(), mock.patch.object(
+                torch, "randn", lambda *a, **k: torch.from_numpy(noise)):
+            log_ref, z_ref = ref(_t(x))
+
+        sd = {f"first_stage_model.encoder.{k}": v.detach().numpy()
+              for k, v in ref.state_dict().items()}
+        params = convert_vae(sd, ch_mult=(1, 2), num_res_blocks=1,
+                             strict=False)["encoder"]
+
+        ours = GaussianEncoder(weight=1.0, flatten_output=True, ch=32,
+                               ch_mult=(1, 2), num_res_blocks=1,
+                               attn_resolutions=(), in_channels=3,
+                               z_channels=4, double_z=True, resolution=16)
+        z, kl = ours.embed_with_kl(
+            params, x, noise_override=noise.transpose(0, 2, 3, 1))
+        z = np.asarray(z)
+        # ref z: (B, HW, C) already (flatten_output rearranges b c h w)
+        np.testing.assert_allclose(z, z_ref.numpy(), rtol=1e-4, atol=2e-4)
+        kl_ref = float(log_ref["kl_loss"])
+        kl_ours = float(np.sum(np.asarray(kl)) / z.shape[0])
+        np.testing.assert_allclose(kl_ours, kl_ref, rtol=1e-4, atol=1e-4)

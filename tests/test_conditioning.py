@@ -127,11 +127,12 @@ class TestMiscEmbedders:
         assert out.shape == (2, 16)
 
     def test_inpainting_mask_blackens_region(self):
+        # reference semantics: kept = -(x+1)/2, hole = +1 (modules.py:2330-2336)
         e = InpaintingEncoder(seed=0)
         x = np.ones((1, 2, 16, 16, 3), dtype=np.float32)
         masked = e.prepare(x)
-        assert masked.min() == -1.0  # some region blacked out
-        assert (masked == 1.0).any()  # some region kept
+        assert masked.min() == -1.0  # kept region of an all-ones clip
+        assert (masked == 1.0).any()  # the hole
 
 
 class TestLowScaleEncoder:
