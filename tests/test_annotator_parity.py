@@ -344,3 +344,49 @@ class TestBodyPoseParity:
                                    paf_ref, atol=1e-3, rtol=1e-2)
         np.testing.assert_allclose(np.asarray(heat).transpose(0, 3, 1, 2),
                                    heat_ref, atol=1e-3, rtol=1e-2)
+
+
+class TestScribblePostParity:
+    """The scribble post chain vs the reference's own ``nms``
+    (sgm/modules/encoders/modules.py:1631-1647) and the
+    ScribblePidiNetEncoder binarize recipe (:1678-1690)."""
+
+    def test_nms_matches(self, sgm):
+        from sgm.modules.encoders.modules import nms as ref_nms
+
+        from ccedit_tpu.conditioning.annotators.scribble import nms
+
+        rng = np.random.default_rng(50)
+        x = rng.integers(0, 256, (40, 48), dtype=np.uint8)
+        np.testing.assert_array_equal(nms(x, 127, 3.0), ref_nms(x, 127, 3.0))
+
+    def test_full_post_chain_matches(self, sgm):
+        import cv2
+
+        from sgm.modules.encoders.modules import nms as ref_nms
+
+        from ccedit_tpu.conditioning.annotators.scribble import (
+            scribble_postprocess,
+        )
+
+        rng = np.random.default_rng(51)
+        # synthetic sigmoid edge maps with real-ish structure (soft ridges)
+        yy, xx = np.mgrid[0:40, 0:48].astype(np.float32)
+        e0 = np.exp(-((yy - 20) ** 2) / 18.0)
+        e1 = np.exp(-((xx - 24) ** 2) / 18.0)
+        edges01 = np.stack([e0, e1]) + rng.uniform(0, 0.1, (2, 40, 48))
+        edges01 = np.clip(edges01, 0.0, 1.0).astype(np.float32)
+
+        # reference chain, modules.py:1686-1697 (executed with its own nms)
+        want = []
+        for e in np.clip(edges01 * 255.0, 0, 255).astype(np.uint8):
+            e = ref_nms(e, 127, 3.0)
+            e = cv2.GaussianBlur(e, (0, 0), 3.0)
+            e[e > 4] = 255
+            e[e < 255] = 0
+            want.append(e)
+        want = np.stack(want).astype(np.float32) / 255.0
+
+        got = scribble_postprocess(edges01)
+        np.testing.assert_array_equal(got, want)
+        assert set(np.unique(got)) <= {0.0, 1.0}
