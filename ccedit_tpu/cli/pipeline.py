@@ -21,7 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import build_engine, load_config
-from ..data.video import load_image, load_video_keyframes, save_video_frames
+from ..data.video import (
+    load_image,
+    load_video_keyframes,
+    save_video_frames,
+    to_uint8,
+)
 from ..diffusion.guidance import VanillaCFG
 from ..utils.jax_cache import enable_compilation_cache
 
@@ -83,6 +88,10 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--fake_annotator", action="store_true",
                    help="allow the luminance pseudo-depth stand-in when no "
                         "annotator backbone weights are configured (debug)")
+    p.add_argument("--exact_shapes", action="store_true",
+                   help="disable shape bucketing: compile at the exact "
+                        "requested (H, W, T, steps) geometry instead of "
+                        "snapping onto the supported grid (utils/buckets.py)")
     return p
 
 
@@ -315,6 +324,24 @@ def mark_done(save_dir: Path, job_key: str, info: Dict):
 def run_pipeline(args, reference_mode: bool = False):
     """The main CLI loop shared by tv2v and tvi2v: base-model sweep around a
     per-job sampling loop (sampling_tv2v.py:201-520)."""
+    from ..utils.buckets import plan_geometry
+
+    # Shape-bucketing compile policy (SURVEY §7.3 #5): snap the requested
+    # geometry onto the supported grid so different-but-same-bucket requests
+    # reuse one compiled program (a fresh SD-scale geometry is a 250-900 s
+    # remote compile otherwise).  The clip is decoded straight to the bucket
+    # size — replacing the resize the reference does anyway — and outputs
+    # are restored to the requested geometry before saving.
+    plan = plan_geometry(
+        args.H, args.W, args.num_keyframes, args.sample_steps,
+        enabled=not getattr(args, "exact_shapes", False),
+    )
+    if plan.changed:
+        print(f"[buckets] {plan.describe()}; outputs restored to the "
+              "requested geometry at save time")
+    args.H, args.W = plan.h, plan.w
+    args.num_keyframes, args.sample_steps = plan.t, plan.steps
+
     steps = args.sample_steps
     sdedit = args.sdedit_denoise_strength > 0
     if sdedit:
@@ -340,14 +367,16 @@ def run_pipeline(args, reference_mode: bool = False):
     clip_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
 
     def load_clip_cached(path: str) -> np.ndarray:
-        key = (path, args.original_fps, args.target_fps, args.num_keyframes,
+        # the requested number of REAL keyframes is decoded; the bucket plan
+        # edge-pads up to the bucket clip length (center-aligned)
+        key = (path, args.original_fps, args.target_fps, plan.req_t,
                args.H, args.W, os.path.getmtime(path))
         hit = clip_cache.get(key)
         if hit is None:
-            hit = load_video_keyframes(
+            hit = plan.pad_frames(load_video_keyframes(
                 path, args.original_fps, args.target_fps,
-                args.num_keyframes, (args.H, args.W), out_dtype="uint8",
-            )  # (T,H,W,3) uint8
+                plan.req_t, (args.H, args.W), out_dtype="uint8",
+            ))  # (T_bucket,H,W,3) uint8
             clip_cache[key] = hit
             while len(clip_cache) > 8:
                 clip_cache.popitem(last=False)
@@ -491,15 +520,21 @@ def run_pipeline(args, reference_mode: bool = False):
             dt = time.time() - t0
 
             ext = "." + args.save_type
+            # bucket -> request restore: crop the T padding, resize to the
+            # requested (H, W) — the same host-side step the reference's own
+            # resize contract implies (scripts/sampling/util.py:705-746)
             for i, outp in enumerate(outputs):
                 save_video_frames(
-                    outp, str(save_dir / f"{vid_name}_{i:02d}{ext}"), fps=args.target_fps
+                    plan.restore_clip(outp),
+                    str(save_dir / f"{vid_name}_{i:02d}{ext}"), fps=args.target_fps
                 )
-            save_video_frames(frames, str(save_dir / f"{vid_name}_original{ext}"),
+            save_video_frames(plan.restore_clip(frames),
+                              str(save_dir / f"{vid_name}_original{ext}"),
                               fps=args.target_fps)
             hint = c.get("control_hint")
             if hint is not None and hint.ndim == 5:
-                save_video_frames(np.asarray(hint[0]), str(save_dir / f"{vid_name}_hint{ext}"),
+                save_video_frames(plan.restore_clip(to_uint8(np.asarray(hint[0]))),
+                                  str(save_dir / f"{vid_name}_hint{ext}"),
                                   fps=args.target_fps)
             mark_done(save_dir, job_key, {
                 "prompt": job["prompt"], "seconds": dt, "num_samples": args.num_samples,
