@@ -85,7 +85,7 @@ def build_dataloader(cfg, args):
 def main(argv=None):
     args, overrides = parse_args(argv)
 
-    from ..config import build_engine, load_config
+    from ..config import build_engine, build_lr_scheduler, load_config
     from ..parallel.mesh import make_mesh
     from ..train.trainer import Trainer, TrainerConfig
 
@@ -111,6 +111,10 @@ def main(argv=None):
 
     model_params = (cfg.get("model") or {}).get("params") or {}
     base_lr = float(model_params.get("base_learning_rate", 1e-4))
+    # the recipe's LR schedule (e.g. LambdaLinearScheduler 100-step warmup
+    # in the tv2v config) — main.py hands these to LambdaLR; the trainer
+    # tabulates them into a jit-traceable optax schedule
+    lr_schedule = build_lr_scheduler(model_params.get("scheduler_config"))
 
     trainer = Trainer(
         engine,
@@ -126,6 +130,7 @@ def main(argv=None):
             seed=args.seed,
         ),
         plan=plan,
+        lr_schedule=lr_schedule,
     )
     state = trainer.fit(loader, batch_size=bs, resume=bool(args.resume))
     print(f"training done at step {int(state.step)}; logs in {logdir}")

@@ -60,7 +60,11 @@ def _parse_value(s: str) -> Any:
 
 
 def apply_dotlist(cfg: Dict, overrides: Sequence[str]) -> Dict:
-    """OmegaConf-style ``a.b.c=value`` overrides (main.py:560-566)."""
+    """OmegaConf-style ``a.b.c=value`` overrides (main.py:560-566).
+
+    Integer path segments index into lists (OmegaConf dotlist semantics),
+    e.g. ``...emb_models.1.params.fake_annotator=true`` targets the second
+    embedder of a conditioner config."""
     cfg = copy.deepcopy(cfg)
     for item in overrides:
         if "=" not in item:
@@ -69,8 +73,15 @@ def apply_dotlist(cfg: Dict, overrides: Sequence[str]) -> Dict:
         node = cfg
         parts = key.split(".")
         for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = _parse_value(val)
+            if isinstance(node, list):
+                node = node[int(p)]
+            else:
+                node = node.setdefault(p, {})
+        last = parts[-1]
+        if isinstance(node, list):
+            node[int(last)] = _parse_value(val)
+        else:
+            node[last] = _parse_value(val)
     return cfg
 
 
@@ -466,6 +477,22 @@ def build_conditioner(cfg: Dict, asset_dir=None, dtype=jnp.float32) -> Condition
 
 
 # ---- loss -----------------------------------------------------------------
+
+def build_lr_scheduler(cfg: Optional[Dict]):
+    """Build an LR multiplier schedule from a model scheduler_config
+    (main.py feeds these to LambdaLR; the trainer tabulates them for jit).
+    Reference classes: sgm/lr_scheduler.py:4-135."""
+    if not cfg:
+        return None
+    from .train import lr_schedule as L
+
+    cls = {
+        "LambdaWarmUpCosineScheduler": L.LambdaWarmUpCosineScheduler,
+        "LambdaWarmUpCosineScheduler2": L.LambdaWarmUpCosineScheduler2,
+        "LambdaLinearScheduler": L.LambdaLinearScheduler,
+    }[_tname(cfg)]
+    return cls(**_params(cfg))
+
 
 def build_loss(cfg: Optional[Dict]) -> Optional[StandardDiffusionLoss]:
     if not cfg:

@@ -53,6 +53,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: >30s on the 1-CPU container (full parity chains, full-network "
+        "quant, real-CLI training). Fast default run: -m 'not slow'")
+
+
 @pytest.fixture
 def rng():
     return jax.random.PRNGKey(0)

@@ -24,6 +24,20 @@ class TestYamlCompat:
         assert cfg["model"]["params"]["scale_factor"] == 0.25
         assert cfg["x"]["y"] == 3
 
+    def test_dotlist_list_indexing(self):
+        """Integer segments index lists (OmegaConf semantics) — needed to
+        target a single conditioner embedder, e.g. emb_models.1.params.*."""
+        cfg = {"m": {"emb_models": [
+            {"target": "a", "params": {}},
+            {"target": "b", "params": {"x": 1}},
+        ]}}
+        out = apply_dotlist(cfg, ["m.emb_models.1.params.x=5",
+                                  "m.emb_models.0.target=c",
+                                  "m.emb_models.1.params.new=true"])
+        assert out["m"]["emb_models"][1]["params"] == {"x": 5, "new": True}
+        assert out["m"]["emb_models"][0]["target"] == "c"
+        assert cfg["m"]["emb_models"][1]["params"] == {"x": 1}  # deep-copied
+
     def test_build_tv2v_engine_from_reference_yaml(self):
         cfg = load_config(TV2V_YAML)
         engine = build_engine(cfg)
