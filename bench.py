@@ -449,6 +449,29 @@ def main():
     from ccedit_tpu.ops.attention import quantized_qk_enabled
     from ccedit_tpu.ops.quant import quantized_matmul_enabled
 
+    # ---- exact model-FLOP accounting -> MFU (VERDICT r4 Next #4) ----
+    # Constants are XLA's own post-optimization cost_analysis()["flops"] of
+    # the EXACT programs timed here (one CFG-doubled denoise row with the
+    # hint pyramid hoisted, the pyramid itself, the fused VAE decode), at
+    # the headline geometry 17f 512x768 — computed by scripts/flops_nfe.py
+    # (re-run it if the network changes).  The VAE count independently
+    # reconciles with the hand-derived 64.56 TFLOP of docs/PERF_r3.md §9.
+    NFE_TFLOPS = {"tv2v": 62.717, "tvi2v": 76.758}
+    HINT_TFLOPS = {"tv2v": 0.747, "tvi2v": 0.747}
+    VAE_TFLOPS = 64.386
+    PEAK_TFLOPS = 197.0  # v5e bf16 (2 MXU pods x 8 MiB tiles @ 940 MHz)
+    mfu_fields = {}
+    if (T, H, W) == (17, 512, 768) and B == 1 and workload in NFE_TFLOPS:
+        rows_total = 2 * steps - 1
+        clip_tflops = (rows_total * NFE_TFLOPS[workload]
+                       + HINT_TFLOPS[workload] + VAE_TFLOPS)
+        core_latency = latency  # overwritten below for e2e
+        mfu_fields = {
+            "model_tflops_per_nfe": NFE_TFLOPS[workload],
+            "model_tflops_per_clip": round(clip_tflops, 1),
+            "peak_tflops_bf16": PEAK_TFLOPS,
+        }
+
     detail = {
         "workload": f"{workload} bs{B} {T}f {H}x{W} {steps} steps DPM++2S "
                     f"CFG{cfg_scale} + VAE decode",
@@ -471,6 +494,15 @@ def main():
             f"{workload} {T}f {H}x{W} {steps} steps DPM++2S CFG{cfg_scale}, "
             "mp4 decode + DPT-Hybrid depth + CLIP text + VAE decode + "
             "mp4 encode")
+        if mfu_fields:
+            core_latency = detail["core_s"]
+    if mfu_fields:
+        # MFU over the device-compute (core) window: model FLOPs the clip
+        # needs / time / chip peak.  Host stages (mp4, depth, text) are
+        # excluded — they are latency, not MXU work.
+        mfu_fields["mfu"] = round(
+            mfu_fields["model_tflops_per_clip"] / core_latency / PEAK_TFLOPS, 4)
+        detail.update(mfu_fields)
 
     print(
         json.dumps(

@@ -27,6 +27,7 @@ def tiny_dpt():
 
 class TestChunkedAnnotator:
     @pytest.mark.parametrize("chunk", [2, 3, 7])
+    @pytest.mark.slow
     def test_matches_single_shot(self, chunk):
         import jax
 

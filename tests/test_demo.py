@@ -73,6 +73,7 @@ class TestDemoServer:
         health = json.loads(urllib.request.urlopen(url + "/health").read())
         assert health == {"status": "ok"}
 
+    @pytest.mark.slow
     def test_txt2img_roundtrip_and_session_cache(self, server):
         url, state = server
         form = ("version=tiny&prompt=a+bear&seed=1&H=64&W=64&sample_steps=2"

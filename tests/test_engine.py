@@ -204,6 +204,7 @@ class TestEngine:
         finally:
             engine.sampler = old_sampler
 
+    @pytest.mark.slow
     def test_train_step_runs_and_updates_only_trainable(self):
         engine = make_tiny_engine(freeze="spatial_tv2v")
         params = engine.init_params(jax.random.PRNGKey(0), example_batch())

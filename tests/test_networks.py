@@ -133,6 +133,7 @@ class TestUNet:
         out = unet.apply(params, x, t, ctx)
         assert out.shape == x.shape
 
+    @pytest.mark.slow
     def test_unet3d_zero_init_equals_2d_per_frame(self, rng):
         unet2 = UNetModel(unet_type="2d", **TINY)
         unet3 = UNetModel(unet_type="pseudo-3d", **TINY)
@@ -149,6 +150,7 @@ class TestUNet:
                 np.asarray(out3[:, frame]), np.asarray(out2), atol=1e-4
             )
 
+    @pytest.mark.slow
     def test_unet3d_output_head_zero_at_init_is_not_degenerate(self, rng):
         # out_conv is zero-init -> output must be exactly 0 at init (SD convention)
         unet = UNetModel(unet_type="pseudo-3d", **TINY)

@@ -209,6 +209,7 @@ class _TorchNNET(torch.nn.Module):
 
 
 class TestNormalBaeParity:
+    @pytest.mark.slow
     def test_forward_matches(self):
         import jax.numpy as jnp
 

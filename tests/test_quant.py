@@ -146,6 +146,7 @@ def test_quantized_transformer_block_close_to_exact(rng):
     assert cosine(exact, qout) > 0.99
 
 
+@pytest.mark.slow
 def test_quantized_full_network_close_to_exact(rng):
     """End-to-end int8 dispatch through the whole CCEditNetwork (UNet +
     ControlNet hint pyramid + temporal convs + every dense/conv call site)

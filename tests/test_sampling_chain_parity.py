@@ -1202,6 +1202,7 @@ class TestTrainingLossParity:
         np.testing.assert_allclose(
             ours, ref.detach().numpy(), rtol=1e-3, atol=1e-6)
 
+    @pytest.mark.slow
     def test_training_gradient_parity(self, sgm, tv2v_pair, loss_inputs):
         """Backward seam: d(mean loss)/d(params) from torch autograd equals
         jax.grad of our loss — the torch grad dict is pushed through the SAME

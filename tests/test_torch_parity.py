@@ -341,6 +341,7 @@ SD15_STRUCT = dict(
 
 
 class TestRAIGParity:
+    @pytest.mark.slow
     def test_raig_wrapper_matches(self, sgm):
         """2D reference-attention image generation: controlnet_img's
         SpatialTransformer outputs are banked (forward hooks in the

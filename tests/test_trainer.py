@@ -19,6 +19,7 @@ class TestLrScaling:
 
 
 class TestTrainerSmoke:
+    @pytest.mark.slow
     def test_data_parallel_training_with_resume(self, tmp_path):
         assert len(jax.devices()) == 8
         engine = make_tiny_engine(freeze="none")
@@ -181,6 +182,7 @@ class TestLrSchedules:
 
 
 class TestValidationSampling:
+    @pytest.mark.slow
     def test_log_samples_writes_gifs(self, tmp_path):
         engine = make_tiny_engine(freeze="none")
         ds = SyntheticVideoDataset(n_items=8, num_frames=2, size_hw=(16, 16))
@@ -248,6 +250,7 @@ class TestZeroSharding:
         np.testing.assert_allclose(np.asarray(p_sh["b"]), np.asarray(p_ref["b"]),
                                    rtol=1e-6)
 
+    @pytest.mark.slow
     def test_zero_sharded_trainer_fit(self, tmp_path):
         """fit() with zero_sharding=True runs jitted steps on the 8-dev mesh
         and produces finite loss (ZeRO-1 state partitioning end-to-end)."""

@@ -400,6 +400,7 @@ class TestGANLossParity:
 
     @pytest.mark.parametrize("global_step", [5, 0],
                              ids=["disc-active", "disc-gated"])
+    @pytest.mark.slow
     def test_generator_loss_parity(self, oracle, ours, global_step):
         import jax
 

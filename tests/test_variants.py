@@ -17,6 +17,7 @@ TINY = dict(
 
 
 class TestInterpolationVariant:
+    @pytest.mark.slow
     def test_first_last_frame_injection(self, rng):
         """ControlledUNetModel3DTV2VInterpolate equivalent: controlnet_img
         runs on first+last frames batched and injects per-position
@@ -206,6 +207,7 @@ class TestRAIGMapping:
 
 
 class TestRemat:
+    @pytest.mark.slow
     def test_remat_unet_grad_matches_shapes(self, rng):
         """use_remat (the reference's use_checkpoint) must not change params
         or outputs; gradients flow."""
