@@ -41,6 +41,12 @@ def parse_args(argv=None):
     p.add_argument("--mesh_data", type=int, default=None, help="data-parallel mesh size")
     p.add_argument("--synthetic_data", action="store_true",
                    help="use the synthetic toy video dataset")
+    p.add_argument("--init_ckpt", type=str, default="",
+                   help="initial weights: a torch checkpoint "
+                        "(.ckpt/.pt/.safetensors, converted through "
+                        "io/torch_convert) or an orbax params directory; "
+                        "overrides the config's model.params.ckpt_path "
+                        "(reference semantics: diffusion.py:113-137)")
     p.add_argument("--tokenizer_assets", type=str, default="")
     args, unknown = p.parse_known_args(argv)
     overrides = [u for u in unknown if "=" in u and not u.startswith("-")]
@@ -82,6 +88,43 @@ def build_dataloader(cfg, args):
     return DataLoader(ds, batch_size=bs, seed=args.seed), bs
 
 
+def make_init_overlay(engine, ckpt: str):
+    """Initial-weights loader for the trainer (the reference applies
+    model.params.ckpt_path at engine init, diffusion.py:113-137).  Accepts
+    a torch checkpoint file (4-family converter) or an orbax params
+    directory; a missing path (e.g. the shipped configs' /PATH/TO/YOUR/
+    CHECKPOINT placeholders) falls back to rule init with a note."""
+    if not ckpt:
+        return None
+    p = Path(ckpt)
+    if not p.exists():
+        print(f"[init] ckpt_path {ckpt!r} not found; training from rule init")
+        return None
+    from .pipeline import _convert_ckpt, _merge_params
+
+    if p.is_dir():
+        import flax.traverse_util as trav
+        import orbax.checkpoint as ocp
+
+        def overlay(params):
+            pruned = trav.unflatten_dict({
+                k: v for k, v in trav.flatten_dict(params).items()
+                if v is not None})
+            restored = ocp.StandardCheckpointer().restore(
+                p.absolute(), target=pruned)
+            return _merge_params(params, restored)
+
+        return overlay
+
+    def overlay(params):
+        merged = _merge_params(params, _convert_ckpt(engine, str(p)))
+        if "vae" in merged:
+            engine._wire_vae_embedders(merged["vae"])
+        return merged
+
+    return overlay
+
+
 def main(argv=None):
     args, overrides = parse_args(argv)
 
@@ -115,6 +158,8 @@ def main(argv=None):
     # in the tv2v config) — main.py hands these to LambdaLR; the trainer
     # tabulates them into a jit-traceable optax schedule
     lr_schedule = build_lr_scheduler(model_params.get("scheduler_config"))
+    init_overlay = make_init_overlay(
+        engine, args.init_ckpt or str(model_params.get("ckpt_path") or ""))
 
     trainer = Trainer(
         engine,
@@ -131,6 +176,7 @@ def main(argv=None):
         ),
         plan=plan,
         lr_schedule=lr_schedule,
+        init_overlay=init_overlay,
     )
     state = trainer.fit(loader, batch_size=bs, resume=bool(args.resume))
     print(f"training done at step {int(state.step)}; logs in {logdir}")

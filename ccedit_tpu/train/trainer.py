@@ -91,11 +91,16 @@ class TrainerConfig:
 class Trainer:
     def __init__(self, engine: CCEditEngine, cfg: TrainerConfig,
                  plan: Optional[MeshPlan] = None,
-                 lr_schedule=None):
+                 lr_schedule=None, init_overlay=None):
         self.engine = engine
         self.cfg = cfg
         self.plan = plan if plan is not None else make_mesh()
         self.lr_schedule = lr_schedule
+        # initial-weights overlay (params -> params), applied once after
+        # rule init — the reference loads model.params.ckpt_path into the
+        # engine before training (diffusion.py:113-137); an orbax resume
+        # checkpoint still takes precedence
+        self.init_overlay = init_overlay
         self.logdir = Path(cfg.logdir)
         self.logdir.mkdir(parents=True, exist_ok=True)
         self._csv_path = self.logdir / "metrics.csv"
@@ -287,6 +292,8 @@ class Trainer:
         first = next(iter(loader))
         prepared = self.engine.conditioner.prepare(first)
         params = self.engine.init_params(jax.random.PRNGKey(cfg.seed), first)
+        if self.init_overlay is not None:
+            params = self.init_overlay(params)
         tx = self.engine.make_optimizer(lr_fn, params)
         if cfg.accumulate_grad_batches > 1:
             tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)

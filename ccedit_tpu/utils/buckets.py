@@ -47,6 +47,15 @@ import numpy as np
 HW_MIN = 256
 HW_MAX = 1024
 HW_STEP = 64
+# The latent spatial-token count (H/8 x W/8) must stay a multiple of 128:
+# the Pallas flash-attention gate (ops/attention.py _flash_ok) requires
+# 128-aligned sequence lengths, and at SD scale the XLA fallback would
+# materialize the full score tensor (measured: 448x704 -> 4928 tokens,
+# 26.8 GB allocation, HBM OOM).  64-multiples give tokens = (H/64)(W/64)*64,
+# so the rule is "(H/64)*(W/64) even"; when a snapped (H, W) violates it the
+# larger side is bumped one step (smallest relative resize).
+TOKEN_MULTIPLE = 128
+LATENT_F = 8
 # T grid: every clip length the repo's tested programs use (8/9/17 are the
 # BASELINE + dryrun geometries, 12 the reference training recipe, 25/33
 # headroom for longer edits at the same fps contract).
@@ -141,10 +150,31 @@ class BucketPlan:
                 f"{self.steps})")
 
 
+def _tokens_aligned(h: int, w: int) -> bool:
+    return ((h // LATENT_F) * (w // LATENT_F)) % TOKEN_MULTIPLE == 0
+
+
+def snap_hw(h: int, w: int) -> Tuple[int, int]:
+    """Joint (H, W) snap: per-dim grid snap, then bump the larger side by
+    one grid step if the latent token count is not TOKEN_MULTIPLE-aligned
+    (required by the flash-attention gate at SD scale — see header)."""
+    h2, w2 = snap_dim(h), snap_dim(w)
+    in_env = (HW_MIN <= h2 <= HW_MAX) and (HW_MIN <= w2 <= HW_MAX)
+    if not in_env or _tokens_aligned(h2, w2):
+        return h2, w2
+    for cand in ((h2, w2 + HW_STEP) if w2 >= h2 else (h2 + HW_STEP, w2),
+                 (h2, w2 + HW_STEP), (h2 + HW_STEP, w2),
+                 (h2 + HW_STEP, w2 + HW_STEP)):
+        ch, cw = cand
+        if ch <= HW_MAX and cw <= HW_MAX and _tokens_aligned(ch, cw):
+            return ch, cw
+    return h2, w2  # nothing aligned inside the envelope: keep the snap
+
+
 def plan_geometry(h: int, w: int, t: int, steps: int,
                   enabled: bool = True) -> BucketPlan:
     """Map a requested geometry onto the supported bucket grid."""
     if not enabled:
         return BucketPlan(h, w, t, steps, h, w, t, steps)
-    return BucketPlan(h, w, t, steps,
-                      snap_dim(h), snap_dim(w), snap_t(t), snap_steps(steps))
+    bh, bw = snap_hw(h, w)
+    return BucketPlan(h, w, t, steps, bh, bw, snap_t(t), snap_steps(steps))

@@ -77,6 +77,37 @@ def flat(tree):
             for k, v in trav.flatten_dict(tree).items() if v is not None}
 
 
+def pretrained_standin(engine, params, seed=0, std=0.02):
+    """Perturb every FROZEN all-zero leaf off zero.
+
+    The reference recipe REQUIRES a pretrained checkpoint (ckpt_path,
+    config line 13): SD's architecture zero-initializes every ResBlock
+    out-conv, transformer proj_out, and the UNet's final conv, so at pure
+    rule init those frozen-at-zero spatial layers block ALL gradient flow
+    to the temporal layers (measured: 337/338 trainable leaves get exactly
+    zero grad).  A trained SD checkpoint has them nonzero; this stand-in
+    reproduces that property.  Trainable zero-init (temporal) leaves stay
+    zero — they are the measurement target."""
+    from ccedit_tpu.train.freeze import freeze_mask
+
+    mask = trav.flatten_dict(freeze_mask(params["network"],
+                                         engine.freeze_policy))
+    rng = np.random.default_rng(seed)
+    out = dict(params)
+    flat = dict(trav.flatten_dict(params["network"]))
+    n = 0
+    for k, v in flat.items():
+        if v is None or mask.get(k, False):
+            continue
+        a = np.asarray(v)
+        if a.size and not a.any():
+            flat[k] = (rng.standard_normal(a.shape) * std).astype(a.dtype)
+            n += 1
+    print(f"[standin] perturbed {n} frozen zero-init spatial leaves")
+    out["network"] = trav.unflatten_dict(flat)
+    return out
+
+
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     out = Path(sys.argv[2]) if len(sys.argv) > 2 else REPO / "docs/artifacts"
@@ -95,16 +126,29 @@ def main():
              "--synthetic_data", "--ckpt_every", str(max(steps // 2, 1)),
              "--log_every", "5", "--sample_every", str(steps),
              "--seed", str(SEED), "--mesh_data", "1"] + TINY_OVERRIDES)
-    train_cli.main(argv)
-    logdir = next(logroot.glob("*_efficacy"))
 
-    # ---- deterministic init (same seed/loader as the trainer) ----
+    # ---- deterministic init + pretrained stand-in, fed to the CLI via the
+    # real initial-checkpoint path (--init_ckpt / model.params.ckpt_path) ----
     args, overrides = parse_args(argv)
     cfg = load_config(args.base, overrides)
     engine = build_engine(cfg)
     loader, _ = build_dataloader(cfg, args)
     first = next(iter(loader))
-    init_params = engine.init_params(jax.random.PRNGKey(SEED), first)
+    init_params = pretrained_standin(
+        engine, engine.init_params(jax.random.PRNGKey(SEED), first))
+
+    import orbax.checkpoint as ocp
+
+    init_dir = logroot / "init_ckpt"
+    pruned_init = trav.unflatten_dict({
+        k: v for k, v in trav.flatten_dict(init_params).items()
+        if v is not None})
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(init_dir.absolute(), pruned_init)
+    ckptr.wait_until_finished()
+
+    train_cli.main(argv + ["--init_ckpt", str(init_dir)])
+    logdir = next(logroot.glob("*_efficacy"))
 
     import orbax.checkpoint as ocp
 
@@ -158,6 +202,10 @@ def main():
         "recipe": CFG_PATH,
         "engine": "VideoDiffusionEngineTV2V (freeze_model=spatial -> "
                   "spatial_tv2v: temporal-only trainable)",
+        "init": "rule init + pretrained stand-in (frozen zero-init spatial "
+                "convs perturbed off zero, loaded through the real "
+                "--init_ckpt path; the reference recipe requires ckpt_path "
+                "— no checkpoints exist in this environment)",
         "steps": steps,
         "fixed_eval_loss_init": round(loss_init, 6),
         "fixed_eval_loss_final": round(loss_final, 6),

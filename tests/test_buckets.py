@@ -82,15 +82,37 @@ class TestSnapping:
             p = plan_geometry(512, 768, 17, steps)
             assert not p.changed
 
+    def test_snap_hw_token_alignment(self):
+        """Buckets must keep the latent token count 128-aligned: the flash
+        kernel gate (ops/attention.py _flash_ok) needs %128 sequence
+        lengths; the XLA fallback OOMs at SD scale (measured 448x704 ->
+        26.8 GB score allocation)."""
+        from ccedit_tpu.utils.buckets import snap_hw
+
+        # 448x704: both /64-odd -> 4928 tokens (%128=64): bump larger side
+        assert snap_hw(448, 704) == (448, 768)
+        assert snap_hw(704, 448) == (768, 448)
+        # requests inside the envelope always land token-aligned
+        for h in range(256, 1025, 32):
+            for w in range(256, 1025, 32):
+                bh, bw = snap_hw(h, w)
+                assert ((bh // 8) * (bw // 8)) % 128 == 0, (h, w, bh, bw)
+        # already-aligned geometries unchanged
+        assert snap_hw(512, 768) == (512, 768)
+        assert snap_hw(384, 512) == (384, 512)
+        # out-of-envelope: exact passthrough, no alignment rewriting
+        assert snap_hw(200, 200) == (200, 200)
+
 
 class TestPlanOps:
     def test_pad_and_restore_roundtrip(self):
         plan = plan_geometry(300, 300, 10, 30)
-        assert (plan.h, plan.w, plan.t) == (320, 320, 12)
+        # (320, 320) is 1600 latent tokens (%128 = 64) -> W bumped to 384
+        assert (plan.h, plan.w, plan.t) == (320, 384, 12)
         clip = np.random.RandomState(0).randint(
-            0, 255, size=(10, 320, 320, 3), dtype=np.uint8)
+            0, 255, size=(10, 320, 384, 3), dtype=np.uint8)
         padded = plan.pad_frames(clip)
-        assert padded.shape == (12, 320, 320, 3)
+        assert padded.shape == (12, 320, 384, 3)
         pad_l, _ = plan.t_pad
         # edge padding replicates the boundary keyframes
         assert np.array_equal(padded[0], clip[0])
@@ -123,6 +145,7 @@ def tiny_grid(monkeypatch):
     monkeypatch.setattr(buckets, "HW_MIN", 32)
     monkeypatch.setattr(buckets, "HW_STEP", 32)
     monkeypatch.setattr(buckets, "T_GRID", (1, 4))
+    monkeypatch.setattr(buckets, "TOKEN_MULTIPLE", 1)  # SD-scale rule off
 
 
 class TestNoRecompile:

@@ -279,3 +279,40 @@ class TestZeroSharding:
         )
         state = trainer.fit(loader, batch_size=8, resume=False)
         assert int(state.step) == 2
+
+
+class TestInitOverlay:
+    """Initial-weights loading for training (the reference applies
+    model.params.ckpt_path at engine init, diffusion.py:113-137)."""
+
+    def test_orbax_dir_overlay(self, tmp_path):
+        import orbax.checkpoint as ocp
+
+        from ccedit_tpu.cli.train import make_init_overlay
+
+        params = {
+            "network": {"a": np.zeros((2, 2), np.float32),
+                        "b": np.full((3,), 7.0, np.float32)},
+            "conditioner": {"clip": {"w": np.zeros((4,), np.float32)}},
+        }
+        saved = {
+            "network": {"a": np.ones((2, 2), np.float32),
+                        "b": np.full((3,), 5.0, np.float32)},
+            "conditioner": {"clip": {"w": np.arange(4, dtype=np.float32)}},
+        }
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save((tmp_path / "init").absolute(), saved)
+        ckptr.wait_until_finished()
+
+        overlay = make_init_overlay(None, str(tmp_path / "init"))
+        out = overlay(params)
+        assert np.array_equal(out["network"]["a"], saved["network"]["a"])
+        assert np.array_equal(out["conditioner"]["clip"]["w"],
+                              saved["conditioner"]["clip"]["w"])
+
+    def test_missing_path_falls_back_to_rule_init(self):
+        from ccedit_tpu.cli.train import make_init_overlay
+
+        # the shipped configs carry /PATH/TO/YOUR/CHECKPOINT placeholders
+        assert make_init_overlay(None, "/PATH/TO/YOUR/CHECKPOINT") is None
+        assert make_init_overlay(None, "") is None
