@@ -149,6 +149,7 @@ def tiny_grid(monkeypatch):
 
 
 class TestNoRecompile:
+    @pytest.mark.slow
     def test_same_bucket_requests_share_compiled_programs(
             self, monkeypatch, tiny_grid, tmp_path):
         """Two pipeline invocations at DIFFERENT requested geometries that

@@ -122,6 +122,7 @@ def run_with_tiny_engine(monkeypatch, args):
 
 
 class TestCliPipeline:
+    @pytest.mark.slow
     def test_plain_run_writes_outputs_and_ledger(self, monkeypatch, clip_dir, tmp_path):
         args = make_args(clip_dir, str(tmp_path / "out"))
         run_with_tiny_engine(monkeypatch, args)
@@ -144,6 +145,7 @@ class TestCliPipeline:
         outs = sorted((tmp_path / "o_batch").glob("*_0*.gif"))
         assert len(outs) == 2
 
+    @pytest.mark.slow
     def test_sdedit_run(self, monkeypatch, clip_dir, tmp_path):
         args = make_args(clip_dir, str(tmp_path / "out"),
                          sdedit_denoise_strength=0.5)

@@ -163,6 +163,7 @@ class TestPiDiNetEncoders:
         x = jnp.zeros((1, 16, 16, 3))
         return model, jax.random.split(jax.random.PRNGKey(0), 1)[0], x
 
+    @pytest.mark.slow
     def test_softedge_mapping(self):
         import jax
 

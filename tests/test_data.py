@@ -37,6 +37,7 @@ class TestFrameSelection:
 
 
 class TestVideoIO:
+    @pytest.mark.slow
     def test_load_bear_frame_dir(self):
         frames = load_video_keyframes(BEAR, 20, 6, 8, (64, 64))
         assert frames.shape == (8, 64, 64, 3)

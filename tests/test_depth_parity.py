@@ -44,6 +44,7 @@ def make_tiny_flax_dpt():
 
 
 class TestDPTHybridParity:
+    @pytest.mark.slow
     def test_forward_matches_hf(self):
         import jax.numpy as jnp
 

@@ -235,6 +235,7 @@ class TestEngine:
         # at least some trainable params (temporal layers get gradients) move
         assert any(changed[k] for k, tr in mask.items() if tr)
 
+    @pytest.mark.slow
     def test_vae_params_never_update(self):
         engine = make_tiny_engine(freeze="none")
         params = engine.init_params(jax.random.PRNGKey(0), example_batch())

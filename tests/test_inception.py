@@ -155,6 +155,7 @@ class _TorchInception(torch.nn.Module):
 
 
 class TestInceptionParity:
+    @pytest.mark.slow
     def test_final_features_match(self):
         import jax.numpy as jnp
 
@@ -202,6 +203,7 @@ class TestFID:
         d = frechet_distance(*statistics(a), *statistics(b))
         assert d > 8.0  # ~ ||2*ones||^2 = 32 minus estimation noise
 
+    @pytest.mark.slow
     def test_activations_pipeline_runs(self):
         import jax
         import jax.numpy as jnp

@@ -78,6 +78,7 @@ class TestTransformers:
         out = st.apply(_init(st, x, ctx), x, ctx)
         assert out.shape == x.shape
 
+    @pytest.mark.slow
     def test_st3d_zero_init_equals_2d_per_frame(self, rng):
         st2 = SpatialTransformer(in_channels=32, n_heads=4, d_head=8, context_dim=16)
         st3 = SpatialTransformer3D(in_channels=32, n_heads=4, d_head=8, context_dim=16)
@@ -93,6 +94,7 @@ class TestTransformers:
                 np.asarray(out3[:, t]), np.asarray(out2), atol=1e-4
             )
 
+    @pytest.mark.slow
     def test_cfca_shapes_and_ref_context(self, rng):
         from ccedit_tpu.modules.transformer import SpatialTransformer3DCA
 
@@ -220,6 +222,7 @@ class TestCCEditNetwork:
         out = net.apply(params, x, t, cond)
         assert out.shape == x.shape
 
+    @pytest.mark.slow
     def test_full_tvi2v_network_with_cfca_reference(self, rng):
         unet = UNetModel(
             unet_type="pseudo-3d",

@@ -6,6 +6,7 @@ whole denoising scan with no code changes."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ccedit_tpu.parallel.mesh import make_mesh
@@ -13,6 +14,7 @@ from test_engine import example_batch, make_tiny_engine
 
 
 class TestDataParallelSampling:
+    @pytest.mark.slow
     def test_batched_sampling_shards_over_mesh(self):
         assert len(jax.devices()) == 8
         engine = make_tiny_engine()
@@ -44,6 +46,7 @@ class TestDataParallelSampling:
         shard_devices = {s.device for s in out.addressable_shards}
         assert len(shard_devices) == 8
 
+    @pytest.mark.slow
     def test_sharded_matches_single_device(self):
         """Per-sample results are identical whether the batch is sharded or
         replicated (pure data parallelism, no cross-sample coupling)."""
@@ -127,6 +130,7 @@ class TestSingleClipFrameSharding:
         )
         return engine, params, c, uc
 
+    @pytest.mark.slow
     def test_frame_sharded_matches_single_device(self):
         from ccedit_tpu.parallel.sampling import make_frame_sharded_sample
 
@@ -146,6 +150,7 @@ class TestSingleClipFrameSharding:
             np.asarray(plain), np.asarray(sharded), rtol=2e-4, atol=2e-4
         )
 
+    @pytest.mark.slow
     def test_frame_sharded_uneven_frames(self):
         """T=17 (the production clip length) does not divide 8, so
         pick_clip_axis falls through to the HEIGHT axis (axis 2) — the same

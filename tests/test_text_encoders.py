@@ -200,6 +200,7 @@ class TestEmbedderWrappers:
     """Wrapper-level smoke tests: prepare/init/embed contracts of the new
     conditioning embedders (tiny dims; parity is pinned separately)."""
 
+    @pytest.mark.slow
     def test_clipt5_combo_returns_pair(self):
         import jax
         import jax.numpy as jnp

@@ -509,6 +509,7 @@ class TestControlNet3DParity:
             np.testing.assert_allclose(
                 np.asarray(o).transpose(0, 4, 1, 2, 3), r, atol=5e-4, rtol=1e-3)
 
+    @pytest.mark.slow
     def test_disable_temporal_center_frame_matches(self, sgm):
         """disable_temporal (controlmodel.py:102-190): the reference STRIPS
         every temporal module and runs the center frame only.  Ours keeps the

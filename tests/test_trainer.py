@@ -69,6 +69,7 @@ class TestTrainerSmoke:
         state2 = trainer2.fit(loader, batch_size=8, resume=True)
         assert int(state2.step) == 3
 
+    @pytest.mark.slow
     def test_resume_restores_ema_shadow(self, tmp_path):
         """The EMA shadow is training state: a resume must restore the saved
         averaged weights, NOT re-seed from fresh-init params (the reference
@@ -140,6 +141,7 @@ class TestLrSchedules:
         # traceable under jit (the raw schedule is not)
         assert float(jax.jit(fn)(3)) == pytest.approx(2.0 * sched(3), rel=1e-6)
 
+    @pytest.mark.slow
     def test_trainer_runs_jitted_steps_with_lambda_linear(self, tmp_path):
         from ccedit_tpu.train.lr_schedule import LambdaLinearScheduler
 

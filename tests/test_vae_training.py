@@ -190,6 +190,7 @@ class TestDiscriminatorParity:
 
 
 class TestVAETrainer:
+    @pytest.mark.slow
     def test_two_steps_update_both_optimizers(self):
         import jax
         import jax.numpy as jnp

@@ -79,6 +79,7 @@ class Test2DImagePath:
 
 
 class TestBatchedSampling:
+    @pytest.mark.slow
     def test_multi_sample_batch_is_batch_parallel(self, rng):
         """BASELINE config 5: num_samples/batch_size sampling batches over the
         leading axis — verify per-sample independence (sample i identical
@@ -230,6 +231,7 @@ class TestRemat:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(bool(jnp.isfinite(l).all()) for l in leaves)
 
+    @pytest.mark.slow
     def test_remat_policy_same_math(self, rng):
         """remat_policy (TPU-only knob: jax.checkpoint_policies name) selects
         WHAT the remat'd blocks save — it must not change outputs or
