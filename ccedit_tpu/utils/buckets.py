@@ -13,7 +13,9 @@ one of a small set of buckets and reuses that bucket's cached program.
 Policy (see docs/PERF_r5.md for the measured effect):
 
 * **H, W** — rounded UP to the next multiple of 64 inside the production
-  envelope [256, 1024].  64 px = 8 latent rows = one full 8-sublane VPU
+  envelope [256, 1024]; requests within one grid step BELOW the envelope are
+  pulled up into it (they are not 64-aligned, so exact execution crashes the
+  UNet's skip alignment in both frameworks — see snap_dim).  64 px = 8 latent rows = one full 8-sublane VPU
   tile at f=8, the granularity every tested geometry already uses.  The
   input clip is decoded straight to the bucket size (replacing, not adding,
   a resize) and outputs are bicubic-resized back to the requested (H, W)
@@ -67,9 +69,17 @@ STEPS_GRID = (10, 20, 30, 50)
 
 
 def snap_dim(d: int) -> int:
-    """Next multiple of HW_STEP at or above ``d`` inside the envelope;
-    out-of-envelope values pass through unchanged."""
-    if d < HW_MIN or d > HW_MAX:
+    """Next multiple of HW_STEP at or above ``d`` for any ``d`` inside the
+    envelope or within one grid step below it; anything further below (debug
+    geometries) or above (exotic) passes through unchanged.
+
+    The below-envelope pull-up matters: a request like 250 px is not
+    64-aligned, so running it exactly crashes the UNet's down/up skip
+    alignment (latents 31 -> 16 -> 32 != 31) — in this framework AND in the
+    reference's torch UNet, which has the same stride-2 structure.  Snapping
+    it up to HW_MIN both runs and reuses a cached bucket (observed live:
+    a 250x250 user request, round-5 verify)."""
+    if d <= HW_MIN - HW_STEP or d > HW_MAX:
         return d
     return int(-(-d // HW_STEP) * HW_STEP)
 

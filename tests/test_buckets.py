@@ -40,8 +40,17 @@ class TestSnapping:
 
     def test_snap_dim_out_of_envelope_passes_through(self):
         assert snap_dim(64) == 64      # debug geometry: exact
-        assert snap_dim(255) == 255
+        assert snap_dim(192) == 192    # boundary: exact (64-aligned, runs)
         assert snap_dim(1025) == 1025  # exotic: exact (+fresh compile)
+
+    def test_snap_dim_pulls_near_envelope_requests_up(self):
+        """Requests within one grid step below the envelope are pulled up
+        into it: they are not 64-aligned, so running them exactly crashes
+        the UNet skip alignment (both frameworks) — observed live with a
+        250x250 request before this rule existed."""
+        assert snap_dim(255) == 256
+        assert snap_dim(250) == 256
+        assert snap_dim(193) == 256
 
     def test_snap_t(self):
         assert snap_t(8) == 8
@@ -101,7 +110,9 @@ class TestSnapping:
         assert snap_hw(512, 768) == (512, 768)
         assert snap_hw(384, 512) == (384, 512)
         # out-of-envelope: exact passthrough, no alignment rewriting
-        assert snap_hw(200, 200) == (200, 200)
+        assert snap_hw(192, 192) == (192, 192)
+        # near-envelope requests are pulled up (see snap_dim)
+        assert snap_hw(200, 200) == (256, 256)
 
 
 class TestPlanOps:
