@@ -100,7 +100,7 @@ def make_args(clip_dir, save_path, **over):
     return args
 
 
-def run_with_tiny_engine(monkeypatch, args):
+def run_with_tiny_engine(monkeypatch, args, reference_mode=False):
     real_load_engine = pipeline.load_engine
 
     def fake_load_engine(a, num_steps):
@@ -118,7 +118,7 @@ def run_with_tiny_engine(monkeypatch, args):
         return engine, {}
 
     monkeypatch.setattr(pipeline, "load_engine", fake_load_engine)
-    pipeline.run_pipeline(args)
+    pipeline.run_pipeline(args, reference_mode=reference_mode)
 
 
 class TestCliPipeline:
@@ -181,6 +181,45 @@ class TestCliPipeline:
         run_with_tiny_engine(monkeypatch, args)
         ledger = json.loads((tmp_path / "out" / "log_info.json").read_text())
         assert len(ledger) == 1  # only the good clip completed
+
+
+class TestReferenceMode:
+    """The TVI2V CLI loop (sampling_tv2v_ref.py:23-550 equivalents): the
+    reference image rides the batch as cond_img, and --prior_type selects
+    which latent seeds the prior mix (video / ref / 0.5 blend)."""
+
+    @pytest.fixture
+    def ref_image(self, tmp_path):
+        p = tmp_path / "ref.png"
+        rs = np.random.RandomState(7)
+        Image.fromarray(rs.randint(0, 255, size=(48, 40, 3))
+                        .astype(np.uint8)).save(p)
+        return str(p)
+
+    def test_ref_run_writes_outputs(self, monkeypatch, clip_dir, tmp_path,
+                                    ref_image):
+        args = make_args(clip_dir, str(tmp_path / "out_ref"))
+        args.reference_path = ref_image
+        args.prior_type = "ref"
+        run_with_tiny_engine(monkeypatch, args, reference_mode=True)
+        out = tmp_path / "out_ref"
+        assert any("_00" in g.name for g in out.glob("*.gif"))
+        assert len(json.loads((out / "log_info.json").read_text())) == 1
+
+    @pytest.mark.parametrize("prior_type", ["video", "ref", "video_ref"])
+    def test_ref_prior_mix_variants(self, monkeypatch, clip_dir, tmp_path,
+                                    ref_image, prior_type):
+        """prior_coefficient_x != 0 exercises the x-prior branch: 'ref'
+        repeats the encoded reference over T, 'video_ref' blends it 50/50
+        with the encoded clip (sampling_tv2v_ref.py prior plumbing)."""
+        args = make_args(clip_dir, str(tmp_path / f"out_{prior_type}"),
+                         prior_coefficient_x=0.3,
+                         prior_coefficient_noise=0.9)
+        args.reference_path = ref_image
+        args.prior_type = prior_type
+        run_with_tiny_engine(monkeypatch, args, reference_mode=True)
+        out = tmp_path / f"out_{prior_type}"
+        assert len(json.loads((out / "log_info.json").read_text())) == 1
 
 
 class TestPipelineUnits:

@@ -72,6 +72,24 @@ def _patch_tiny_engine(monkeypatch):
     monkeypatch.setattr(pipeline, "load_engine", fake_load_engine)
 
 
+class TestReferenceModePrecompile:
+    @pytest.mark.slow
+    def test_reference_mode_warms_and_reports(self, monkeypatch, tiny_grid):
+        """The TVI2V leg: precompile generates its own synthetic reference
+        frame and drives run_pipeline(reference_mode=True) to completion."""
+        _patch_tiny_engine(monkeypatch)
+        args = pipeline.base_parser().parse_args([])
+        args.save_type = "gif"
+        args.seed = 0
+        args.prior_type = "ref"
+        args.prior_coefficient_x = 0.3
+        args.prior_coefficient_noise = 0.9
+        rows = precompile.precompile(args, [(40, 33, 3, 2)],
+                                     reference_mode=True)
+        assert rows[0]["bucket"] == [64, 64, 4, 2]
+        assert rows[0]["backend_compiles"] > 0
+
+
 class TestPrecompileWarmsUserRequests:
     @pytest.mark.slow
     def test_warmed_bucket_serves_user_request_from_cache(
