@@ -124,7 +124,12 @@ def precompile(args, geometries: List[Tuple[int, int, int, int]],
     scratch = Path(tempfile.mkdtemp(prefix="ccedit_precompile_"))
     try:
         for gi, (h, w, t, steps) in enumerate(geometries):
-            plan = buckets.plan_geometry(h, w, t, steps)
+            # Mirror run_pipeline's own routing: with --exact_shapes the
+            # pipeline compiles the exact geometry, so the report must not
+            # claim a bucket that was never warmed.
+            plan = buckets.plan_geometry(
+                h, w, t, steps,
+                enabled=not getattr(args, "exact_shapes", False))
             print(f"[precompile {gi + 1}/{len(geometries)}] "
                   f"{plan.describe() if plan.changed else f'({h},{w},{t},{steps}) on-grid'}")
             compiles.clear()
@@ -164,9 +169,12 @@ def precompile(args, geometries: List[Tuple[int, int, int, int]],
                   f"{fresh} fresh compile(s) ({sum(compiles):.1f}s), "
                   f"{len(cache_hits)} already cached")
     finally:
+        import shutil
+
         from jax._src import monitoring as _mon
 
         _mon.unregister_event_duration_listener(listener)
+        shutil.rmtree(scratch, ignore_errors=True)
     return rows
 
 

@@ -112,7 +112,10 @@ def make_init_overlay(engine, ckpt: str):
                 if v is not None})
             restored = ocp.StandardCheckpointer().restore(
                 p.absolute(), target=pruned)
-            return _merge_params(params, restored)
+            merged = _merge_params(params, restored)
+            if "vae" in merged:
+                engine._wire_vae_embedders(merged["vae"])
+            return merged
 
         return overlay
 

@@ -486,12 +486,18 @@ def build_lr_scheduler(cfg: Optional[Dict]):
         return None
     from .train import lr_schedule as L
 
-    cls = {
+    known = {
         "LambdaWarmUpCosineScheduler": L.LambdaWarmUpCosineScheduler,
         "LambdaWarmUpCosineScheduler2": L.LambdaWarmUpCosineScheduler2,
         "LambdaLinearScheduler": L.LambdaLinearScheduler,
-    }[_tname(cfg)]
-    return cls(**_params(cfg))
+    }
+    name = _tname(cfg)
+    if name not in known:
+        raise ValueError(
+            f"unknown scheduler_config target {cfg.get('target')!r}; "
+            f"supported: {sorted(known)} (sgm/lr_scheduler.py ships only "
+            "these three)")
+    return known[name](**_params(cfg))
 
 
 def build_loss(cfg: Optional[Dict]) -> Optional[StandardDiffusionLoss]:

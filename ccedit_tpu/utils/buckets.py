@@ -172,10 +172,11 @@ def snap_hw(h: int, w: int) -> Tuple[int, int]:
     in_env = (HW_MIN <= h2 <= HW_MAX) and (HW_MIN <= w2 <= HW_MAX)
     if not in_env or _tokens_aligned(h2, w2):
         return h2, w2
-    for cand in ((h2, w2 + HW_STEP) if w2 >= h2 else (h2 + HW_STEP, w2),
-                 (h2, w2 + HW_STEP), (h2 + HW_STEP, w2),
-                 (h2 + HW_STEP, w2 + HW_STEP)):
-        ch, cw = cand
+    # bump the larger side first (smallest relative resize), then the
+    # other side, then both
+    larger = (h2, w2 + HW_STEP) if w2 >= h2 else (h2 + HW_STEP, w2)
+    other = (h2 + HW_STEP, w2) if w2 >= h2 else (h2, w2 + HW_STEP)
+    for ch, cw in (larger, other, (h2 + HW_STEP, w2 + HW_STEP)):
         if ch <= HW_MAX and cw <= HW_MAX and _tokens_aligned(ch, cw):
             return ch, cw
     return h2, w2  # nothing aligned inside the envelope: keep the snap
@@ -183,8 +184,21 @@ def snap_hw(h: int, w: int) -> Tuple[int, int]:
 
 def plan_geometry(h: int, w: int, t: int, steps: int,
                   enabled: bool = True) -> BucketPlan:
-    """Map a requested geometry onto the supported bucket grid."""
+    """Map a requested geometry onto the supported bucket grid.
+
+    An out-of-envelope (H, W) passes the WHOLE request through exact —
+    the header's "outside the envelope" contract.  Such a geometry is an
+    exotic/debug request whose program is effectively unique, so snapping
+    T or steps would change the user's quality/latency knobs for no real
+    reuse; and the reference's torch UNet fails the same misaligned
+    geometries we would, so exact pass-through never rejects a request
+    the reference accepts.  Inside the envelope each axis snaps on its
+    own grid (out-of-grid T or steps still passes that axis through —
+    see snap_t / snap_steps)."""
     if not enabled:
         return BucketPlan(h, w, t, steps, h, w, t, steps)
     bh, bw = snap_hw(h, w)
+    hw_in_env = (HW_MIN <= bh <= HW_MAX) and (HW_MIN <= bw <= HW_MAX)
+    if not hw_in_env:
+        return BucketPlan(h, w, t, steps, h, w, t, steps)
     return BucketPlan(h, w, t, steps, bh, bw, snap_t(t), snap_steps(steps))

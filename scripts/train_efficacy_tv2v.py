@@ -31,9 +31,6 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 # ---- conftest-style CPU forcing (the axon plugin overrides env vars) ----
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags  # single device: no virtual mesh needed
 import jax  # noqa: E402
 
 jax.config.update("jax_platform_name", "cpu")

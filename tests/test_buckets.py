@@ -149,6 +149,22 @@ class TestPlanOps:
         plan = plan_geometry(300, 300, 10, 29, enabled=False)
         assert not plan.changed
 
+    def test_out_of_envelope_hw_passes_whole_request_through(self):
+        # An exotic (H, W) is its own program no matter what T/steps do;
+        # snapping them would change the user's quality knobs for no
+        # reuse, against the header's out-of-envelope contract.
+        for h, w in ((1100, 512), (192, 192), (2048, 2048)):
+            plan = plan_geometry(h, w, 10, 25)
+            assert not plan.changed, (h, w, plan)
+
+    def test_in_envelope_hw_with_out_of_grid_t_still_snaps_hw(self):
+        # T=40 is above T_GRID: that axis passes through, but the H/W
+        # snap still applies (skip/token alignment + reuse among
+        # same-T requests).
+        plan = plan_geometry(300, 300, 40, 30)
+        assert (plan.h, plan.w) == (320, 384)
+        assert plan.t == 40 and plan.steps == 30
+
 
 @pytest.fixture
 def tiny_grid(monkeypatch):

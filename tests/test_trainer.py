@@ -312,6 +312,33 @@ class TestInitOverlay:
         assert np.array_equal(out["conditioner"]["clip"]["w"],
                               saved["conditioner"]["clip"]["w"])
 
+    def test_orbax_dir_overlay_rewires_vae_embedders(self, tmp_path):
+        # The conditioner's VAEEmbedders capture the VAE params at
+        # engine.init_params; loading initial weights afterwards must
+        # re-wire them to the LOADED vae or cond_img conditioning would
+        # silently encode with rule-init weights (engine.py:149).
+        import orbax.checkpoint as ocp
+
+        from ccedit_tpu.cli.train import make_init_overlay
+
+        params = {"vae": {"w": np.zeros((2,), np.float32)}}
+        saved = {"vae": {"w": np.ones((2,), np.float32)}}
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save((tmp_path / "init").absolute(), saved)
+        ckptr.wait_until_finished()
+
+        class FakeEngine:
+            wired = None
+
+            def _wire_vae_embedders(self, vae_params):
+                self.wired = vae_params
+
+        eng = FakeEngine()
+        out = make_init_overlay(eng, str(tmp_path / "init"))(params)
+        assert eng.wired is not None
+        assert np.array_equal(eng.wired["w"], saved["vae"]["w"])
+        assert np.array_equal(out["vae"]["w"], saved["vae"]["w"])
+
     def test_missing_path_falls_back_to_rule_init(self):
         from ccedit_tpu.cli.train import make_init_overlay
 
