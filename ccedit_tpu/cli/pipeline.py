@@ -358,6 +358,7 @@ def run_pipeline(args, reference_mode: bool = False):
     base_params = None
     sample_jit = None
     decode_jit = None
+    encode_jit = None
 
     # decoded-clip cache: BalanceCC-style job lists run several prompts over
     # the SAME video (and every base-model pass repeats the whole job list).
@@ -439,19 +440,26 @@ def run_pipeline(args, reference_mode: bool = False):
             z_shape = (bs, args.num_keyframes, args.H // f, args.W // f, 4)
             x_prior = None
             if args.prior_coefficient_x != 0 or sdedit or args.inpainting_mode:
-                z_video = engine.encode_first_stage(params, jnp.asarray(video))
+                if encode_jit is None:
+                    # ONE device execution per encode instead of ~200
+                    # op-by-op RPC dispatches (measured: the un-jitted VAE
+                    # encode added minutes per clip on the tunneled host;
+                    # same reasoning as decode_jit / _hint_encode_jit)
+                    encode_jit = jax.jit(
+                        lambda p, x: engine.encode_first_stage(p, x))
+                z_video = encode_jit(params, jnp.asarray(video))
                 x_prior = z_video
                 if (
                     reference_mode and not sdedit
                     and getattr(args, "prior_type", "video") in ("ref", "video_ref")
                 ):
-                    z_ref = engine.encode_first_stage(params, jnp.asarray(batch["cond_img"]))
+                    z_ref = encode_jit(params, jnp.asarray(batch["cond_img"]))
                     z_ref = jnp.repeat(z_ref[:, None], args.num_keyframes, axis=1)
                     x_prior = z_ref if args.prior_type == "ref" else 0.5 * (z_video + z_ref)
 
             inpaint_x0 = inpaint_mask = None
             if args.inpainting_mode:
-                inpaint_x0 = x_prior if not sdedit else engine.encode_first_stage(
+                inpaint_x0 = x_prior if not sdedit else encode_jit(
                     params, jnp.asarray(video)
                 )
                 inpaint_mask = jnp.asarray(make_inpaint_mask(frames, f))
@@ -464,16 +472,23 @@ def run_pipeline(args, reference_mode: bool = False):
                 # jits each chunk itself.
                 use_prior = x_prior is not None
                 use_inpaint = inpaint_x0 is not None
+                # the prior-mix coefficients enter as traced scalar ARGUMENTS
+                # (not baked constants): any nonzero coefficient value — a
+                # user sweeping --prior_coefficient_x — reuses this one
+                # compiled program instead of paying a fresh XLA compile
+                mix_prior = use_prior and args.prior_coefficient_x != 0
 
-                def _sample(p, cc, ucc, key, prior, ip_x0, ip_mask):
+                def _sample(p, cc, ucc, key, prior, ip_x0, ip_mask,
+                            pc, pnc, gs):
                     return engine.sample(
                         p, cc, ucc, z_shape, key, num_steps=steps,
                         x_prior=prior if use_prior else None,
-                        prior_coefficient=args.prior_coefficient_x,
-                        prior_noise_coefficient=args.prior_coefficient_noise,
+                        prior_coefficient=pc if mix_prior else 0.0,
+                        prior_noise_coefficient=pnc if mix_prior else 1.0,
                         mode="sdedit" if sdedit else "full",
                         inpaint_x0=ip_x0 if use_inpaint else None,
                         inpaint_mask=ip_mask if use_inpaint else None,
+                        guider_scale=gs,
                     )
 
                 if getattr(engine.sampler, "segment_size", 0):
@@ -504,12 +519,21 @@ def run_pipeline(args, reference_mode: bool = False):
             prior_arg = rep(x_prior) if x_prior is not None else zeros
             ip_x0_arg = rep(inpaint_x0) if inpaint_x0 is not None else zeros
             ip_mask_arg = rep(inpaint_mask) if inpaint_mask is not None else zeros
+            # weak-typed scalars (jnp.asarray of a python float): they
+            # promote exactly like the python-float constants they replace
+            # (weak f32 * bf16 stays bf16), so the lowered program is
+            # identical to the baked-constant version except the value is
+            # an argument
+            pc_arg = jnp.asarray(float(args.prior_coefficient_x))
+            pnc_arg = jnp.asarray(float(args.prior_coefficient_noise))
+            gs_arg = jnp.asarray(float(args.cfg_scale))
             try:
                 remaining = args.num_samples
                 while remaining > 0:
                     rng, k = jax.random.split(rng)
                     latents = sample_jit(params, c_b, uc_b, k, prior_arg,
-                                         ip_x0_arg, ip_mask_arg)
+                                         ip_x0_arg, ip_mask_arg,
+                                         pc_arg, pnc_arg, gs_arg)
                     decoded = np.asarray(decode_jit(params, latents))
                     take = min(bs, remaining)
                     outputs.extend(decoded[i] for i in range(take))

@@ -42,6 +42,12 @@ README.md:50-77):
         --bf16 --geometries 512x768x17x30
     python -m ccedit_tpu.cli.precompile --config_path <tvi2v.yaml> \
         --bf16 --reference_mode --geometries 512x768x17x50
+
+In reference mode each geometry warms BOTH prior variants by default (the
+direct-CLI no-prior program AND the x-prior program auto_pipeline serves
+with --prior_coefficient_x 0.03); the coefficient value itself is a traced
+argument, so the prior warm covers every nonzero coefficient.  Pass an
+explicit nonzero --prior_coefficient_x to warm only the prior variant.
 """
 
 from __future__ import annotations
@@ -105,7 +111,14 @@ def _write_synthetic_reference(dirpath: Path) -> Path:
 def precompile(args, geometries: List[Tuple[int, int, int, int]],
                reference_mode: bool = False) -> List[Dict]:
     """Warm one bucket per geometry through the real pipeline; returns the
-    per-bucket report rows (also printed)."""
+    per-bucket report rows (also printed).
+
+    In reference mode with the default ``--prior_coefficient_x 0``, each
+    geometry is warmed TWICE: once without the x-prior branch (the direct
+    sampling_tv2v_ref default) and once with it (auto_pipeline.py:55 serves
+    with 0.03, a structurally different program: two encode_first_stage
+    calls + the prior mix).  The coefficient VALUE is a traced argument, so
+    one prior-variant warm covers every nonzero coefficient."""
     import jax
 
     from ..utils import buckets
@@ -120,24 +133,38 @@ def precompile(args, geometries: List[Tuple[int, int, int, int]],
         elif name == "/jax/compilation_cache/cache_retrieval_time_sec":
             cache_hits.append(dur)
 
+    variants = [args.prior_coefficient_x]
+    if reference_mode and args.prior_coefficient_x == 0:
+        variants.append(0.03)  # the auto_pipeline serving default
+
     jax.monitoring.register_event_duration_secs_listener(listener)
     scratch = Path(tempfile.mkdtemp(prefix="ccedit_precompile_"))
     try:
-        for gi, (h, w, t, steps) in enumerate(geometries):
+        jobs = [(g, v) for g in geometries for v in variants]
+        for gi, ((h, w, t, steps), prior_x) in enumerate(jobs):
             # Mirror run_pipeline's own routing: with --exact_shapes the
             # pipeline compiles the exact geometry, so the report must not
             # claim a bucket that was never warmed.
             plan = buckets.plan_geometry(
                 h, w, t, steps,
                 enabled=not getattr(args, "exact_shapes", False))
-            print(f"[precompile {gi + 1}/{len(geometries)}] "
-                  f"{plan.describe() if plan.changed else f'({h},{w},{t},{steps}) on-grid'}")
+            if plan.changed:
+                label = plan.describe()
+            elif plan.in_envelope:
+                label = f"({h},{w},{t},{steps}) on-grid"
+            else:
+                label = (f"({h},{w},{t},{steps}) OUT-OF-ENVELOPE exact "
+                         "pass-through: compiles fresh, no other request "
+                         "reuses it")
+            variant = f" [prior_x={prior_x}]" if len(variants) > 1 else ""
+            print(f"[precompile {gi + 1}/{len(jobs)}] {label}{variant}")
             compiles.clear()
             cache_hits.clear()
 
             run = _clone_args(args)
             run.H, run.W = h, w
             run.num_keyframes, run.sample_steps = t, steps
+            run.prior_coefficient_x = prior_x
             # stride-1 keyframe selection over the synthetic clip; fps only
             # affects decode + saved-gif timing, never the compiled program
             run.original_fps = run.target_fps = 1
@@ -158,6 +185,8 @@ def precompile(args, geometries: List[Tuple[int, int, int, int]],
             row = {
                 "requested": [h, w, t, steps],
                 "bucket": [plan.h, plan.w, plan.t, plan.steps],
+                "in_envelope": plan.in_envelope,
+                "prior_coefficient_x": prior_x,
                 "seconds": round(dt, 2),
                 "backend_compiles": len(compiles),
                 "cache_hits": len(cache_hits),

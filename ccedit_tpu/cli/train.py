@@ -102,25 +102,18 @@ def make_init_overlay(engine, ckpt: str):
         return None
     from .pipeline import _convert_ckpt, _merge_params
 
-    if p.is_dir():
-        import flax.traverse_util as trav
+    def load(params):
+        if not p.is_dir():
+            return _convert_ckpt(engine, str(p))
         import orbax.checkpoint as ocp
 
-        def overlay(params):
-            pruned = trav.unflatten_dict({
-                k: v for k, v in trav.flatten_dict(params).items()
-                if v is not None})
-            restored = ocp.StandardCheckpointer().restore(
-                p.absolute(), target=pruned)
-            merged = _merge_params(params, restored)
-            if "vae" in merged:
-                engine._wire_vae_embedders(merged["vae"])
-            return merged
-
-        return overlay
+        # Target-free restore returns whatever subtree is on disk, so a
+        # partial checkpoint (e.g. just the controlnet) merges non-strictly
+        # like the torch branch instead of failing structure validation.
+        return ocp.StandardCheckpointer().restore(p.absolute())
 
     def overlay(params):
-        merged = _merge_params(params, _convert_ckpt(engine, str(p)))
+        merged = _merge_params(params, load(params))
         if "vae" in merged:
             engine._wire_vae_embedders(merged["vae"])
         return merged

@@ -42,7 +42,8 @@ class IdentityGuider:
     def expand(self, x: jnp.ndarray, sigma: jnp.ndarray):
         return x, sigma
 
-    def combine(self, out: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    def combine(self, out: jnp.ndarray, sigma: jnp.ndarray,
+                scale=None) -> jnp.ndarray:
         return out
 
 
@@ -72,9 +73,15 @@ class VanillaCFG:
             jnp.concatenate([sigma, sigma], axis=0),
         )
 
-    def combine(self, out: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    def combine(self, out: jnp.ndarray, sigma: jnp.ndarray,
+                scale=None) -> jnp.ndarray:
+        """``scale`` may be a traced scalar overriding the constructor value:
+        the sampling CLIs pass --cfg_scale as a jit ARGUMENT so a user
+        sweeping guidance strength reuses one compiled program instead of
+        paying a fresh XLA compile per value."""
         x_u, x_c = jnp.split(out, 2, axis=0)
-        return x_u + self.scale * (x_c - x_u)
+        s = self.scale if scale is None else scale
+        return x_u + s * (x_c - x_u)
 
 
 _GUIDERS = {"identity": IdentityGuider, "cfg": VanillaCFG, "cfg_tv2v": VanillaCFG}

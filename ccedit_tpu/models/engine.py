@@ -243,9 +243,15 @@ class CCEditEngine:
         out["control_hint_features"] = feats
         return out
 
-    def make_denoise_fn(self, params, cond: Dict, uc: Optional[Dict]) -> Callable:
+    def make_denoise_fn(self, params, cond: Dict, uc: Optional[Dict],
+                        guider_scale=None) -> Callable:
         """Returns denoise_fn(x, sigma_scalar) with CFG folded in; the
         conditioning concat happens once, outside the sampling scan.
+
+        ``guider_scale`` (optional) overrides the guider's constructor scale
+        and rides the ctx tuple, so when passed as a traced jit argument a
+        guidance-strength sweep reuses one compiled program (None = use the
+        guider's static scale, identical program to before).
 
         When the sampler runs in segmented mode (its own per-chunk jits), the
         weights must flow through jit ARGUMENTS, so a (fn, ctx) pair is
@@ -256,16 +262,16 @@ class CCEditEngine:
         cond_cat = self._hoist_control_hint(params["network"], cond_cat)
 
         def denoise_ctx(ctx, x, sigma):
-            net_params, cc = ctx
+            net_params, cc, gs = ctx
             net = self._network_fn(net_params)
             sigma_vec = jnp.broadcast_to(
                 jnp.asarray(sigma, dtype=jnp.float32), (x.shape[0],)
             )
             x2, s2 = guider.expand(x, sigma_vec)
             out = self.denoiser(net, x2, s2, cc)
-            return guider.combine(out, sigma_vec)
+            return guider.combine(out, sigma_vec, scale=gs)
 
-        ctx = (params["network"], cond_cat)
+        ctx = (params["network"], cond_cat, guider_scale)
         if getattr(self.sampler, "segment_size", 0):
             return (denoise_ctx, ctx)
 
@@ -291,6 +297,7 @@ class CCEditEngine:
         inpaint_mask: Optional[jnp.ndarray] = None,
         init_noise: Optional[jnp.ndarray] = None,
         loop_noise: Optional[jnp.ndarray] = None,
+        guider_scale=None,
     ) -> jnp.ndarray:
         """Draw latents.
 
@@ -317,7 +324,8 @@ class CCEditEngine:
             assert tuple(noise.shape) == tuple(shape), (noise.shape, shape)
         else:
             noise = jax.random.normal(k_init, tuple(shape), dtype=jnp.float32)
-        denoise_fn = self.make_denoise_fn(params, cond, uc)
+        denoise_fn = self.make_denoise_fn(params, cond, uc,
+                                          guider_scale=guider_scale)
 
         if mode == "sdedit":
             assert x_prior is not None, "sdedit needs the clean video latent"
@@ -328,7 +336,13 @@ class CCEditEngine:
             x = x_prior
         else:
             x = noise
-            if x_prior is not None and prior_coefficient != 0.0:
+            # the coefficients may be traced scalars (the sampling CLIs pass
+            # them as jit ARGUMENTS so a serving-time coefficient sweep
+            # reuses one compiled program); only a static python zero can
+            # skip the mix
+            static_zero = (isinstance(prior_coefficient, (int, float))
+                           and prior_coefficient == 0.0)
+            if x_prior is not None and not static_zero:
                 x = prior_noise_coefficient * x + prior_coefficient * x_prior
 
         if mode == "skip_steps":

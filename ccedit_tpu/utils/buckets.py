@@ -127,6 +127,14 @@ class BucketPlan:
             self.h, self.w, self.t, self.steps)
 
     @property
+    def in_envelope(self) -> bool:
+        """Whether the planned (H, W) is a reusable grid bucket.  False
+        means an out-of-envelope exact pass-through: the program compiles
+        fresh and no other request will reuse it (distinct from a genuinely
+        on-grid request, which shares its bucket)."""
+        return (HW_MIN <= self.h <= HW_MAX) and (HW_MIN <= self.w <= HW_MAX)
+
+    @property
     def t_pad(self) -> Tuple[int, int]:
         return pad_split(self.req_t, self.t)
 

@@ -77,8 +77,14 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
         return d
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
-    # cache everything that took meaningful compile time; the big sampler
-    # programs take minutes, but even the VAE/annotator jits are worth it
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # persist EVERY program, however fast it compiled.  The pipeline
+    # dispatches ~280 programs per clip and ~140 of them compile under the
+    # old 0.5 s threshold — so they were re-compiled by every process, each
+    # paying a remote-compile RPC round trip on the tunneled backend at
+    # highly variable latency (measured round 5: identical warm requests
+    # spent 400-1800 s on ~140 sub-threshold fresh compiles, while cache
+    # RETRIEVAL of the same count costs ~10 s total).  Disk cost of the tiny
+    # entries is negligible next to the multi-GB sampler programs.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     _enabled = True
     return d

@@ -63,3 +63,16 @@ def pytest_configure(config):
 @pytest.fixture
 def rng():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture
+def tiny_grid(monkeypatch):
+    """Shrink the bucket envelope so end-to-end bucket/precompile tests run
+    at toy scale (shared by test_buckets.py and test_precompile.py so the
+    two suites always exercise the same policy knobs)."""
+    from ccedit_tpu.utils import buckets
+
+    monkeypatch.setattr(buckets, "HW_MIN", 32)
+    monkeypatch.setattr(buckets, "HW_STEP", 32)
+    monkeypatch.setattr(buckets, "T_GRID", (1, 4))
+    monkeypatch.setattr(buckets, "TOKEN_MULTIPLE", 1)  # SD-scale rule off

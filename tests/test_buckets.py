@@ -18,7 +18,6 @@ from PIL import Image
 import jax
 
 from ccedit_tpu.cli import pipeline
-from ccedit_tpu.utils import buckets
 from ccedit_tpu.utils.buckets import (
     pad_split,
     plan_geometry,
@@ -157,6 +156,14 @@ class TestPlanOps:
             plan = plan_geometry(h, w, 10, 25)
             assert not plan.changed, (h, w, plan)
 
+    def test_in_envelope_property_distinguishes_passthrough_from_on_grid(self):
+        # Both plans are unchanged; only one is a reusable grid bucket.
+        # Deploy tooling (cli/precompile.py) reports the difference so an
+        # out-of-envelope exact compile is never mistaken for a warmed
+        # bucket.
+        assert plan_geometry(512, 768, 17, 30).in_envelope
+        assert not plan_geometry(2048, 2048, 17, 30).in_envelope
+
     def test_in_envelope_hw_with_out_of_grid_t_still_snaps_hw(self):
         # T=40 is above T_GRID: that axis passes through, but the H/W
         # snap still applies (skip/token alignment + reuse among
@@ -164,15 +171,6 @@ class TestPlanOps:
         plan = plan_geometry(300, 300, 40, 30)
         assert (plan.h, plan.w) == (320, 384)
         assert plan.t == 40 and plan.steps == 30
-
-
-@pytest.fixture
-def tiny_grid(monkeypatch):
-    """Shrink the envelope so the end-to-end test runs at toy scale."""
-    monkeypatch.setattr(buckets, "HW_MIN", 32)
-    monkeypatch.setattr(buckets, "HW_STEP", 32)
-    monkeypatch.setattr(buckets, "T_GRID", (1, 4))
-    monkeypatch.setattr(buckets, "TOKEN_MULTIPLE", 1)  # SD-scale rule off
 
 
 class TestNoRecompile:

@@ -169,6 +169,85 @@ class TestCliPipeline:
         run_with_tiny_engine(monkeypatch, args)
         assert (tmp_path / "out" / "log_info.json").exists()
 
+    @pytest.mark.slow
+    def test_knob_sweep_reuses_compiled_program(
+            self, monkeypatch, clip_dir, tmp_path):
+        """The user-sweepable scalar knobs — --prior_coefficient_x,
+        --prior_coefficient_noise, --cfg_scale — enter the jitted sampler as
+        traced ARGUMENTS: sweeping them across values must reuse one
+        compiled program (every backend compile of the second run is a
+        persistent-cache retrieval).  The cache-hit identity is itself the
+        proof the values are not baked: a constant-folded 0.3 would lower to
+        different HLO than 0.03 and miss the cache.  A spy on engine.sample
+        additionally pins that the knobs arrive traced (jit arguments), not
+        as python floats the math could have been constant-folded around."""
+        import sys
+
+        import jax
+
+        this_mod = sys.modules[self.__module__]
+        real_make = this_mod.make_cli_engine
+        seen_knob_types = []
+
+        def make_spy():
+            engine = real_make()
+            real_sample = engine.sample
+
+            def sample_spy(*a, **kw):
+                seen_knob_types.append(
+                    (type(kw.get("prior_coefficient")),
+                     type(kw.get("guider_scale"))))
+                return real_sample(*a, **kw)
+
+            engine.sample = sample_spy
+            return engine
+
+        monkeypatch.setattr(this_mod, "make_cli_engine", make_spy)
+
+        compiles, cache_hits = [], []
+
+        def listener(name, dur, **kw):
+            if name == "/jax/core/compile/backend_compile_duration":
+                compiles.append(name)
+            elif name == "/jax/compilation_cache/cache_retrieval_time_sec":
+                cache_hits.append(name)
+
+        prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.monitoring.register_event_duration_secs_listener(listener)
+        try:
+            args_a = make_args(clip_dir, str(tmp_path / "sweep_a"),
+                               prior_coefficient_x=0.03,
+                               prior_coefficient_noise=0.9,
+                               cfg_scale=7.5)
+            run_with_tiny_engine(monkeypatch, args_a)
+
+            compiles.clear()
+            cache_hits.clear()
+
+            args_b = make_args(clip_dir, str(tmp_path / "sweep_b"),
+                               prior_coefficient_x=0.3,
+                               prior_coefficient_noise=0.8,
+                               cfg_scale=3.0)
+            run_with_tiny_engine(monkeypatch, args_b)
+        finally:
+            from jax._src import monitoring as _mon
+
+            _mon.unregister_event_duration_listener(listener)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", prev_min)
+
+        assert len(compiles) > 0, "expected the second sweep point to dispatch"
+        assert len(cache_hits) == len(compiles), (
+            f"{len(compiles) - len(cache_hits)} of {len(compiles)} compiles "
+            "in the knob-sweep request missed the compile cache")
+
+        assert seen_knob_types, "spy never saw an engine.sample call"
+        assert all(issubclass(t, jax.core.Tracer)
+                   for pair in seen_knob_types for t in pair), (
+            f"knobs reached engine.sample as {seen_knob_types} — they must "
+            "be traced jit arguments, not baked python floats")
+
     def test_bad_video_is_skipped_not_fatal(self, monkeypatch, clip_dir, tmp_path):
         """Per-job fault tolerance (sampling_tv2v.py:312-328)."""
         listfile = tmp_path / "vids.txt"

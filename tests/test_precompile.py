@@ -12,7 +12,6 @@ import numpy as np
 import pytest
 
 from ccedit_tpu.cli import pipeline, precompile
-from ccedit_tpu.utils import buckets
 
 
 class TestParseGeometries:
@@ -43,14 +42,6 @@ class TestParseGeometries:
         assert args.H != 12345
 
 
-@pytest.fixture
-def tiny_grid(monkeypatch):
-    monkeypatch.setattr(buckets, "HW_MIN", 32)
-    monkeypatch.setattr(buckets, "HW_STEP", 32)
-    monkeypatch.setattr(buckets, "T_GRID", (1, 4))
-    monkeypatch.setattr(buckets, "TOKEN_MULTIPLE", 1)
-
-
 def _patch_tiny_engine(monkeypatch):
     from test_cli_pipeline import make_cli_engine
 
@@ -76,7 +67,9 @@ class TestReferenceModePrecompile:
     @pytest.mark.slow
     def test_reference_mode_warms_and_reports(self, monkeypatch, tiny_grid):
         """The TVI2V leg: precompile generates its own synthetic reference
-        frame and drives run_pipeline(reference_mode=True) to completion."""
+        frame and drives run_pipeline(reference_mode=True) to completion.
+        An explicit nonzero prior coefficient warms only the prior variant
+        (the traced-argument coefficient covers every nonzero value)."""
         _patch_tiny_engine(monkeypatch)
         args = pipeline.base_parser().parse_args([])
         args.save_type = "gif"
@@ -86,8 +79,28 @@ class TestReferenceModePrecompile:
         args.prior_coefficient_noise = 0.9
         rows = precompile.precompile(args, [(40, 33, 3, 2)],
                                      reference_mode=True)
+        assert len(rows) == 1
         assert rows[0]["bucket"] == [64, 64, 4, 2]
+        assert rows[0]["in_envelope"] is True
+        assert rows[0]["prior_coefficient_x"] == 0.3
         assert rows[0]["backend_compiles"] > 0
+
+    @pytest.mark.slow
+    def test_reference_mode_default_warms_both_prior_variants(
+            self, monkeypatch, tiny_grid):
+        """With the default --prior_coefficient_x 0, reference mode warms
+        the no-prior program (direct CLI default) AND the x-prior program
+        (auto_pipeline serves with 0.03) — the serving flow's first request
+        must not pay a fresh compile after a 'successful' warm."""
+        _patch_tiny_engine(monkeypatch)
+        args = pipeline.base_parser().parse_args([])
+        args.save_type = "gif"
+        args.seed = 0
+        args.prior_type = "ref"
+        rows = precompile.precompile(args, [(40, 33, 3, 2)],
+                                     reference_mode=True)
+        assert [r["prior_coefficient_x"] for r in rows] == [0.0, 0.03]
+        assert all(r["bucket"] == [64, 64, 4, 2] for r in rows)
 
 
 class TestPrecompileWarmsUserRequests:

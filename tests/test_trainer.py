@@ -339,6 +339,32 @@ class TestInitOverlay:
         assert np.array_equal(eng.wired["w"], saved["vae"]["w"])
         assert np.array_equal(out["vae"]["w"], saved["vae"]["w"])
 
+    def test_orbax_dir_overlay_accepts_partial_checkpoint(self, tmp_path):
+        # A checkpoint holding only a SUBTREE of the param tree (e.g. just
+        # the controlnet) must merge non-strictly like the torch branch
+        # (diffusion.py:130-137 non-strict load), not fail orbax structure
+        # validation.
+        import orbax.checkpoint as ocp
+
+        from ccedit_tpu.cli.train import make_init_overlay
+
+        params = {"network": {"w": np.zeros((2,), np.float32)},
+                  "conditioner": {"clip": {"w": np.zeros((3,), np.float32)}}}
+        saved = {"network": {"w": np.ones((2,), np.float32)}}
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save((tmp_path / "init").absolute(), saved)
+        ckptr.wait_until_finished()
+
+        class FakeEngine:
+            def _wire_vae_embedders(self, vae_params):
+                pass
+
+        out = make_init_overlay(FakeEngine(), str(tmp_path / "init"))(params)
+        assert np.array_equal(out["network"]["w"], saved["network"]["w"])
+        # the un-checkpointed subtree keeps its rule init
+        assert np.array_equal(out["conditioner"]["clip"]["w"],
+                              params["conditioner"]["clip"]["w"])
+
     def test_missing_path_falls_back_to_rule_init(self):
         from ccedit_tpu.cli.train import make_init_overlay
 
