@@ -188,25 +188,40 @@ def sample_images(session: ImageSession, args,
         img = load_image(args.init_image, (args.H, args.W))[None]
         if session.video_mode:
             img = img[None]
-        x_prior = engine.encode_first_stage(params, jnp.asarray(img))
+        x_prior = jax.jit(engine.encode_first_stage)(params, jnp.asarray(img))
+
+    # One jitted program per request structure: sample + decode + [0,1]
+    # rescale run as a single device execution (eager dispatch costs
+    # seconds per op on RPC-tunneled hosts), with params/conditioning as
+    # ARGUMENTS and --cfg_scale as a weak-typed traced scalar so a
+    # guidance-strength sweep in the demo reuses the compiled program.
+    use_prior = x_prior is not None
+
+    def _generate(p, cc, ucc, key, prior, gs):
+        if use_prior:
+            # do_img2img: start from (z + noise*sigma0)/sqrt(1+sigma0^2) on
+            # the strength-pruned schedule (streamlit_helpers.py:594-607);
+            # the sampler's prepare rescale restores z + noise*sigma0
+            lat = engine.sample(p, cc, ucc, z_shape, key, x_prior=prior,
+                                mode="sdedit", guider_scale=gs)
+        else:
+            lat = engine.sample(p, cc, ucc, z_shape, key, guider_scale=gs)
+        img = engine.decode_first_stage(p, lat)
+        if session.video_mode:
+            img = img[:, 0]
+        return (jnp.clip(img, -1.0, 1.0) + 1.0) / 2.0
+
+    if getattr(engine.sampler, "segment_size", 0):
+        generate = _generate  # the segmented sampler jits its own chunks
+    else:
+        generate = jax.jit(_generate)
+    gs_arg = jnp.asarray(float(args.cfg_scale))
 
     outputs: List[np.ndarray] = []
     for i in range(args.num_samples):
         rng, k = jax.random.split(rng)
         t0 = time.time()
-        if x_prior is not None:
-            # do_img2img: start from (z + noise*sigma0)/sqrt(1+sigma0^2) on
-            # the strength-pruned schedule (streamlit_helpers.py:594-607);
-            # the sampler's prepare rescale restores z + noise*sigma0
-            latents = engine.sample(
-                params, c, uc, z_shape, k, x_prior=x_prior, mode="sdedit"
-            )
-        else:
-            latents = engine.sample(params, c, uc, z_shape, k)
-        img_out = engine.decode_first_stage(params, latents)
-        if session.video_mode:
-            img_out = img_out[:, 0]
-        img01 = (jnp.clip(img_out, -1.0, 1.0) + 1.0) / 2.0
+        img01 = generate(params, c, uc, k, x_prior, gs_arg)
         if sample_filter is not None:
             img01 = sample_filter(img01)
         img01 = np.asarray(img01)
