@@ -283,7 +283,10 @@ def make_inpaint_mask(frames: np.ndarray, factor: int = 8) -> np.ndarray:
 
 def _merge_params(init_tree, loaded_tree):
     """Overlay loaded weights onto the initialized tree (non-strict partial
-    load with reporting, mirroring diffusion.py:130-137)."""
+    load with reporting, mirroring diffusion.py:130-137).  None leaves on
+    either side are skipped: param-less embedders put None in the engine
+    tree (conditioning/embedders.py), and a target-free orbax restore of a
+    full saved tree returns those Nones back."""
     import flax
 
     flat_init = flax.traverse_util.flatten_dict(init_tree)
@@ -291,7 +294,7 @@ def _merge_params(init_tree, loaded_tree):
     merged = dict(flat_init)
     loaded, mismatched = 0, []
     for k, v in flat_loaded.items():
-        if k in merged:
+        if k in merged and v is not None and merged[k] is not None:
             if merged[k].shape == v.shape:
                 merged[k] = jnp.asarray(v, dtype=merged[k].dtype)
                 loaded += 1

@@ -235,8 +235,10 @@ def main():
 
     total_fresh = sum(r["fresh_compiles"] for r in rows)
     total_secs = sum(r["compile_seconds"] for r in rows)
-    print(f"[precompile] done: {len(rows)} bucket(s), {total_fresh} fresh "
-          f"compile(s) totalling {total_secs:.1f}s now persistently cached")
+    geoms = len({tuple(r["requested"]) for r in rows})
+    print(f"[precompile] done: {geoms} geometry(ies), {len(rows)} warm "
+          f"job(s), {total_fresh} fresh compile(s) totalling "
+          f"{total_secs:.1f}s now persistently cached")
     if args.report:
         Path(args.report).parent.mkdir(parents=True, exist_ok=True)
         Path(args.report).write_text(json.dumps(rows, indent=1))

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import argparse
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, List, Optional
 
@@ -78,6 +78,13 @@ class ImageSession:
     engine: Any
     params: Any
     video_mode: bool
+    # jitted-program caches: jax's in-memory trace cache is keyed on the
+    # wrapper object, so rebuilding jax.jit per request would re-trace the
+    # whole sampler+decode program every time (host tracing is the dominant
+    # warm cost at SD scale).  Keyed on everything the TRACE depends on;
+    # cfg_scale/seed are runtime arguments and deliberately absent.
+    generate_cache: dict = field(default_factory=dict)
+    encode_jit: Any = None
 
     @property
     def latent_factor(self) -> int:
@@ -185,36 +192,50 @@ def sample_images(session: ImageSession, args,
         z_shape = (1, args.H // f, args.W // f, 4)
     x_prior = None
     if args.init_image:
+        if session.encode_jit is None:
+            session.encode_jit = jax.jit(engine.encode_first_stage)
         img = load_image(args.init_image, (args.H, args.W))[None]
         if session.video_mode:
             img = img[None]
-        x_prior = jax.jit(engine.encode_first_stage)(params, jnp.asarray(img))
+        x_prior = session.encode_jit(params, jnp.asarray(img))
 
     # One jitted program per request structure: sample + decode + [0,1]
     # rescale run as a single device execution (eager dispatch costs
     # seconds per op on RPC-tunneled hosts), with params/conditioning as
     # ARGUMENTS and --cfg_scale as a weak-typed traced scalar so a
     # guidance-strength sweep in the demo reuses the compiled program.
+    # The jitted wrapper is cached on the session keyed on every request
+    # field the trace depends on (configure_sampler rebuilds an equivalent
+    # sampler for equal keys, so reuse is safe) — a warm demo session
+    # serves repeat requests without re-tracing.
     use_prior = x_prior is not None
+    gen_key = (args.sampler_name, args.sample_steps,
+               getattr(args, "discretization", "legacy_ddpm"),
+               args.img2img_strength if args.init_image else None,
+               getattr(args, "guider", "VanillaCFG"), z_shape, use_prior)
+    generate = session.generate_cache.get(gen_key)
+    if generate is None:
 
-    def _generate(p, cc, ucc, key, prior, gs):
-        if use_prior:
-            # do_img2img: start from (z + noise*sigma0)/sqrt(1+sigma0^2) on
-            # the strength-pruned schedule (streamlit_helpers.py:594-607);
-            # the sampler's prepare rescale restores z + noise*sigma0
-            lat = engine.sample(p, cc, ucc, z_shape, key, x_prior=prior,
-                                mode="sdedit", guider_scale=gs)
+        def _generate(p, cc, ucc, key, prior, gs):
+            if use_prior:
+                # do_img2img: start from (z + noise*sigma0)/sqrt(1+sigma0^2)
+                # on the strength-pruned schedule
+                # (streamlit_helpers.py:594-607); the sampler's prepare
+                # rescale restores z + noise*sigma0
+                lat = engine.sample(p, cc, ucc, z_shape, key, x_prior=prior,
+                                    mode="sdedit", guider_scale=gs)
+            else:
+                lat = engine.sample(p, cc, ucc, z_shape, key, guider_scale=gs)
+            img = engine.decode_first_stage(p, lat)
+            if session.video_mode:
+                img = img[:, 0]
+            return (jnp.clip(img, -1.0, 1.0) + 1.0) / 2.0
+
+        if getattr(engine.sampler, "segment_size", 0):
+            generate = _generate  # the segmented sampler jits its own chunks
         else:
-            lat = engine.sample(p, cc, ucc, z_shape, key, guider_scale=gs)
-        img = engine.decode_first_stage(p, lat)
-        if session.video_mode:
-            img = img[:, 0]
-        return (jnp.clip(img, -1.0, 1.0) + 1.0) / 2.0
-
-    if getattr(engine.sampler, "segment_size", 0):
-        generate = _generate  # the segmented sampler jits its own chunks
-    else:
-        generate = jax.jit(_generate)
+            generate = jax.jit(_generate)
+        session.generate_cache[gen_key] = generate
     gs_arg = jnp.asarray(float(args.cfg_scale))
 
     outputs: List[np.ndarray] = []

@@ -128,11 +128,18 @@ class BucketPlan:
 
     @property
     def in_envelope(self) -> bool:
-        """Whether the planned (H, W) is a reusable grid bucket.  False
-        means an out-of-envelope exact pass-through: the program compiles
-        fresh and no other request will reuse it (distinct from a genuinely
-        on-grid request, which shares its bucket)."""
-        return (HW_MIN <= self.h <= HW_MAX) and (HW_MIN <= self.w <= HW_MAX)
+        """Whether the planned geometry is a reusable grid bucket on EVERY
+        axis.  False means an exact pass-through program (out-of-envelope
+        H/W, misaligned H/W under --exact_shapes, or out-of-grid T/steps):
+        it compiles fresh and no bucketed request will ever reuse it —
+        deploy tooling reports the distinction so such a compile is never
+        mistaken for a warmed shared bucket."""
+        return (
+            HW_MIN <= self.h <= HW_MAX and HW_MIN <= self.w <= HW_MAX
+            and self.h % HW_STEP == 0 and self.w % HW_STEP == 0
+            and _tokens_aligned(self.h, self.w)
+            and self.t in T_GRID and self.steps in STEPS_GRID
+        )
 
     @property
     def t_pad(self) -> Tuple[int, int]:

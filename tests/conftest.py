@@ -75,4 +75,5 @@ def tiny_grid(monkeypatch):
     monkeypatch.setattr(buckets, "HW_MIN", 32)
     monkeypatch.setattr(buckets, "HW_STEP", 32)
     monkeypatch.setattr(buckets, "T_GRID", (1, 4))
+    monkeypatch.setattr(buckets, "STEPS_GRID", (1, 2, 4))
     monkeypatch.setattr(buckets, "TOKEN_MULTIPLE", 1)  # SD-scale rule off

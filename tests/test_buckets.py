@@ -157,12 +157,17 @@ class TestPlanOps:
             assert not plan.changed, (h, w, plan)
 
     def test_in_envelope_property_distinguishes_passthrough_from_on_grid(self):
-        # Both plans are unchanged; only one is a reusable grid bucket.
-        # Deploy tooling (cli/precompile.py) reports the difference so an
-        # out-of-envelope exact compile is never mistaken for a warmed
-        # bucket.
+        # All these plans are unchanged; only the first is a reusable grid
+        # bucket.  Deploy tooling (cli/precompile.py) reports the difference
+        # so an exact-pass-through compile is never mistaken for a warmed
+        # shared bucket.
         assert plan_geometry(512, 768, 17, 30).in_envelope
         assert not plan_geometry(2048, 2048, 17, 30).in_envelope
+        # --exact_shapes: in-range but misaligned (H, W) is its own program
+        assert not plan_geometry(500, 500, 17, 30, enabled=False).in_envelope
+        # out-of-grid T or steps also makes the program unique
+        assert not plan_geometry(512, 768, 40, 30).in_envelope
+        assert not plan_geometry(512, 768, 17, 60).in_envelope
 
     def test_in_envelope_hw_with_out_of_grid_t_still_snaps_hw(self):
         # T=40 is above T_GRID: that axis passes through, but the H/W

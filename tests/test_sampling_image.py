@@ -70,10 +70,20 @@ class TestSampleImages:
             f"--cfg_scale reached engine.sample as {seen_scale_types}; it "
             "must be a traced jit argument so scale sweeps don't recompile")
 
-    def test_cfg_scale_sweep_reuses_compiled_program(self, session, tmp_path):
-        """Two requests differing only in --cfg_scale: every backend compile
-        of the second is a persistent-cache retrieval (the value is an
-        argument, so the HLO is identical)."""
+    def test_cfg_scale_sweep_reuses_compiled_program(self, tmp_path):
+        """Two FRESH sessions (= two processes) differing only in
+        --cfg_scale: every backend compile of the second is a
+        persistent-cache retrieval (the value is an argument, so the HLO is
+        identical).  Within ONE session the contract is stronger — no
+        retrace at all — covered by the warm-session test below."""
+        def fresh_session():
+            engine = _tiny_session()
+            args = _make_args(str(tmp_path))
+            batch, _ = sampling_image._make_batches(engine, args)
+            params = engine.init_params(jax.random.PRNGKey(0), batch)
+            return sampling_image.ImageSession(
+                engine=engine, params=params, video_mode=True)
+
         compiles, cache_hits = [], []
 
         def listener(name, dur, **kw):
@@ -87,11 +97,11 @@ class TestSampleImages:
         jax.monitoring.register_event_duration_secs_listener(listener)
         try:
             sampling_image.sample_images(
-                session, _make_args(str(tmp_path / "a"), cfg_scale=7.5))
+                fresh_session(), _make_args(str(tmp_path / "a"), cfg_scale=7.5))
             compiles.clear()
             cache_hits.clear()
             sampling_image.sample_images(
-                session, _make_args(str(tmp_path / "b"), cfg_scale=2.0))
+                fresh_session(), _make_args(str(tmp_path / "b"), cfg_scale=2.0))
         finally:
             from jax._src import monitoring as _mon
 
@@ -103,3 +113,32 @@ class TestSampleImages:
         assert len(cache_hits) == len(compiles), (
             f"{len(compiles) - len(cache_hits)} of {len(compiles)} compiles "
             "in the cfg_scale sweep missed the compile cache")
+
+    def test_warm_session_repeat_request_does_not_retrace(
+            self, session, tmp_path):
+        """The jitted generate wrapper is cached on the session, so a warm
+        demo session serves a structurally-equal repeat request (different
+        cfg_scale/seed) without re-tracing — engine.sample runs only during
+        the one trace."""
+        trace_calls = []
+        real_sample = session.engine.sample
+
+        def sample_spy(*a, **kw):
+            trace_calls.append(1)
+            return real_sample(*a, **kw)
+
+        session.engine.sample = sample_spy
+        sampling_image.sample_images(
+            session, _make_args(str(tmp_path / "r1"), cfg_scale=7.5, seed=1))
+        assert len(trace_calls) == 1
+        sampling_image.sample_images(
+            session, _make_args(str(tmp_path / "r2"), cfg_scale=5.0, seed=2))
+        assert len(trace_calls) == 1, (
+            "repeat request re-traced the sampler program; the generate "
+            "wrapper must be cached on ImageSession")
+        assert len(session.generate_cache) == 1
+        # a structurally different request (other step count) traces anew
+        sampling_image.sample_images(
+            session, _make_args(str(tmp_path / "r3"), sample_steps=3))
+        assert len(trace_calls) == 2
+        assert len(session.generate_cache) == 2

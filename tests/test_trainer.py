@@ -365,6 +365,30 @@ class TestInitOverlay:
         assert np.array_equal(out["conditioner"]["clip"]["w"],
                               params["conditioner"]["clip"]["w"])
 
+    def test_orbax_dir_overlay_skips_none_leaves(self, tmp_path):
+        # Real engine trees contain None leaves (param-less embedders,
+        # conditioning/embedders.py); a full saved tree restores them back
+        # as None and the merge must skip them, not call .shape on None.
+        import orbax.checkpoint as ocp
+
+        from ccedit_tpu.cli.train import make_init_overlay
+
+        params = {"network": {"w": np.zeros((2,), np.float32)},
+                  "conditioner": {"embedder_0": None}}
+        saved = {"network": {"w": np.ones((2,), np.float32)},
+                 "conditioner": {"embedder_0": None}}
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save((tmp_path / "init").absolute(), saved)
+        ckptr.wait_until_finished()
+
+        class FakeEngine:
+            def _wire_vae_embedders(self, vae_params):
+                pass
+
+        out = make_init_overlay(FakeEngine(), str(tmp_path / "init"))(params)
+        assert np.array_equal(out["network"]["w"], saved["network"]["w"])
+        assert out["conditioner"]["embedder_0"] is None
+
     def test_missing_path_falls_back_to_rule_init(self):
         from ccedit_tpu.cli.train import make_init_overlay
 
