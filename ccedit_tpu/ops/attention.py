@@ -156,7 +156,7 @@ def _kv_resident_ok(q, k) -> bool:
     from . import spatial_attention as sa
 
     n_q, n_k, d = q.shape[-2], k.shape[-2], q.shape[-1]
-    return sa.supported(n_q, n_k, d)
+    return sa.supported(n_q, n_k, d, itemsize=k.dtype.itemsize)
 
 
 # The custom pallas kernels are forward-only; training differentiates
@@ -200,6 +200,25 @@ _kv_resident_diff.defvjp(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_diff(q, k, v, scale):
+    # the tuned fwd blocks (_flash_blocks) lack the bwd block specs the
+    # stock kernel's own VJP requires, so differentiating the bare
+    # flash_attention call raises at trace time — route bwd through the
+    # shared recompute (which uses default BlockSizes carrying bwd specs)
+    fa = _flash_fn()
+    return fa.flash_attention(
+        q, k, v, causal=False, sm_scale=scale,
+        block_sizes=_flash_blocks(q.shape[-2], k.shape[-2], q.shape[-1]),
+    )
+
+
+_flash_diff.defvjp(
+    lambda q, k, v, scale: (_flash_diff(q, k, v, scale), (q, k, v)),
+    _xla_attention_bwd,
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _small_seq_diff(q, k, v, scale):
     from .temporal_attention import small_seq_attention
 
@@ -220,11 +239,7 @@ def _attention_kernel(q, k, v, scale, force_xla):
     if not force_xla and _kv_resident_ok(q, k):
         return _kv_resident_diff(q, k, v, scale, quantized_qk_enabled())
     if not force_xla and _flash_ok(q, k):
-        fa = _flash_fn()
-        return fa.flash_attention(
-            q, k, v, causal=False, sm_scale=scale,
-            block_sizes=_flash_blocks(q.shape[-2], k.shape[-2], q.shape[-1]),
-        )
+        return _flash_diff(q, k, v, scale)
     if not force_xla and _small_seq_ok(q, k):
         return _small_seq_diff(q, k, v, scale)
     return _xla_attention(q, k, v, scale)

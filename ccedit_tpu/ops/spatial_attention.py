@@ -148,9 +148,12 @@ def _pick_qb(n_q: int, n_k: int) -> int:
     return 0
 
 
-def supported(n_q: int, n_k: int, d: int) -> bool:
+def supported(n_q: int, n_k: int, d: int, itemsize: int = 2) -> bool:
     """Shapes this kernel handles better than the stock flash kernel
-    (measured: d=40 l0 self-attn and the n_k-doubled CFCA variant)."""
+    (measured: d=40 l0 self-attn and the n_k-doubled CFCA variant).
+    ``itemsize`` is the k/v element size in bytes (2 = bf16, the production
+    dtype) — the residency gate must not admit fp32 k/v at double the
+    footprint it budgeted for."""
     n_chunks = _n_chunks(n_k)
     return (
         n_q >= 512
@@ -158,7 +161,7 @@ def supported(n_q: int, n_k: int, d: int) -> bool:
         and d <= 128
         and n_k % n_chunks == 0
         and (n_k // n_chunks) % 128 == 0
-        and n_k * d * 4 <= 4.0e6          # k+v VMEM residency
+        and n_k * d * 2 * itemsize <= 4.0e6   # k+v VMEM residency
         and _pick_qb(n_q, n_k) > 0
     )
 

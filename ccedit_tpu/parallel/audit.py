@@ -25,7 +25,7 @@ DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
 _COLLECTIVE_PAT = re.compile(
     r"=\s*((?:\([^)]*\)|\S+))\s+"
     r"(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)"
-    r"(?:-start)?\(", re.M)
+    r"(-start)?\(", re.M)
 
 
 @dataclass
@@ -36,17 +36,27 @@ class Collective:
 
 
 def parse_collectives(hlo: str) -> List[Collective]:
-    """Every collective in an HLO text dump, with its result payload bytes."""
+    """Every collective in an HLO text dump, with its result payload bytes.
+
+    Async collectives (``*-start``, TPU default) produce a tuple result
+    ``(operand_alias, result[, contexts])`` — only the RESULT element is the
+    payload; summing every typed leaf would double-count (~2x for
+    all-reduce, operand+gathered for all-gather)."""
     out = []
     for m in _COLLECTIVE_PAT.finditer(hlo):
-        shape_s, op = m.group(1), m.group(2)
-        total = 0
+        shape_s, op, is_start = m.group(1), m.group(2), bool(m.group(3))
+        leaves = []
         for ty, dims in re.findall(r"(\w+)\[([\d,]*)\]", shape_s):
             n = 1
             for d in dims.split(","):
                 if d:
                     n *= int(d)
-            total += n * DTYPE_BYTES.get(ty, 4)
+            leaves.append(n * DTYPE_BYTES.get(ty, 4))
+        if is_start and len(leaves) >= 2:
+            # (operand, result, ...) tuple: element 1 is the payload
+            total = leaves[1]
+        else:
+            total = sum(leaves)
         out.append(Collective(op, shape_s if len(shape_s) < 70
                               else shape_s[:67] + "...", total))
     return out

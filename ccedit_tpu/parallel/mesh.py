@@ -39,7 +39,11 @@ class MeshPlan:
         return self.mesh.shape[self.data_axis]
 
     def batch_spec(self, ndim: int) -> P:
-        """Shard the leading (batch) axis over data; replicate the rest."""
+        """Shard the leading (batch) axis over data; replicate the rest.
+        Scalar (0-d) leaves replicate — a rank-1 spec would be a rank
+        mismatch at device_put."""
+        if ndim == 0:
+            return P()
         return P(self.data_axis, *([None] * (ndim - 1)))
 
     def batch_sharding(self, ndim: int) -> NamedSharding:

@@ -100,12 +100,20 @@ def make_frame_sharded_sample(
     jitted = jax.jit(fn, out_shardings=out_sharding)
 
     def call(params, c, uc, rng, x_prior=None):
+        from ..ops.attention import mesh_context
+
         params = jax.device_put(params, plan.replicated())
         c = shard_clip_cond(plan, c, shape, axis)
         uc = shard_clip_cond(plan, uc, shape, axis) if uc is not None else None
-        if x_prior is not None:
-            x_prior = jax.device_put(jnp.asarray(x_prior), out_sharding)
-            return jitted(params, c, uc, rng, x_prior)
-        return jitted(params, c, uc, rng)
+        # trace under the mesh context: GSPMD cannot partition a
+        # pallas_call, so every pallas-eligible attention must be routed
+        # through shard_map at trace time (ops/attention.py header) —
+        # without this the kernels lower unpartitioned and XLA replicates
+        # their operands, forfeiting the sharding this module exists for
+        with mesh_context(plan.mesh, plan.data_axis):
+            if x_prior is not None:
+                x_prior = jax.device_put(jnp.asarray(x_prior), out_sharding)
+                return jitted(params, c, uc, rng, x_prior)
+            return jitted(params, c, uc, rng)
 
     return call

@@ -5,8 +5,9 @@ accepts deepspeed_stage configs through Lightning; SURVEY.md §2.7 row
 "ZeRO / optimizer-state sharding").  TPU-native design: instead of a runtime
 that partitions optimizer buffers imperatively, every optimizer-state leaf
 gets a ``NamedSharding`` that splits its largest mesh-divisible axis over the
-mesh's data axis (ZeRO-1: state sharded, params replicated; pass
-``shard_params=True`` for ZeRO-3-style parameter sharding).  XLA then keeps
+mesh's data axis (ZeRO-1: state sharded, params replicated; for
+ZeRO-3-style parameter sharding apply the same rules to the param tree —
+``zero_shardings(params, plan)`` works on any pytree).  XLA then keeps
 each shard resident on its device and emits the all-gathers/reduce-scatters
 the update needs — no hand-written collectives.
 
@@ -26,9 +27,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .mesh import MeshPlan
 
 
-def _leaf_spec(shape, n_shards: int) -> P:
-    """Shard the largest axis divisible by n_shards; replicate otherwise.
-    Tiny leaves (scalars, norms, counts) stay replicated."""
+def _leaf_spec(shape, n_shards: int, axis: str) -> P:
+    """Shard the largest axis divisible by n_shards over mesh axis ``axis``;
+    replicate otherwise.  Tiny leaves (scalars, norms, counts) stay
+    replicated."""
     if not shape or int(np.prod(shape)) < 2 * n_shards:
         return P()
     best_axis, best_size = None, 0
@@ -38,7 +40,7 @@ def _leaf_spec(shape, n_shards: int) -> P:
     if best_axis is None:
         return P()
     spec = [None] * len(shape)
-    return P(*spec[:best_axis], "data", *spec[best_axis + 1:])
+    return P(*spec[:best_axis], axis, *spec[best_axis + 1:])
 
 
 def zero_shardings(tree: Any, plan: MeshPlan) -> Any:
@@ -47,7 +49,8 @@ def zero_shardings(tree: Any, plan: MeshPlan) -> Any:
 
     def leaf(x):
         shape = getattr(x, "shape", ())
-        return NamedSharding(plan.mesh, _leaf_spec(tuple(shape), n))
+        return NamedSharding(plan.mesh,
+                             _leaf_spec(tuple(shape), n, plan.data_axis))
 
     return jax.tree_util.tree_map(leaf, tree)
 

@@ -59,15 +59,20 @@ def donation_safe() -> bool:
 
 
 def assert_exact_arithmetic() -> None:
-    """Refuse to train with the int8 W8A8 inference path enabled: jnp.round
+    """Refuse to train with either int8 inference path enabled: jnp.round
     has zero gradient a.e., so gradients through quantized convs/matmuls are
-    silently wrong (ops/quant.py is inference-only by design)."""
+    silently wrong (ops/quant.py is inference-only by design), and the
+    QK8 attention path would run an int8-approximate forward while its
+    custom VJP differentiates the exact recompute — an inconsistent
+    fwd/bwd pair."""
+    from ..ops.attention import quantized_qk_enabled
     from ..ops.quant import quantized_matmul_enabled
 
-    if quantized_matmul_enabled():
+    if quantized_matmul_enabled() or quantized_qk_enabled():
         raise RuntimeError(
             "training requires exact arithmetic: unset CCEDIT_QUANT_MATMUL/"
-            "CCEDIT_INT8 or call set_quantized_matmul(False) before fit()")
+            "CCEDIT_QUANT_QK/CCEDIT_INT8 or call set_quantized_matmul(False)"
+            " / set_quantized_qk(False) before fit()")
 
 
 @dataclasses.dataclass

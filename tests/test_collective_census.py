@@ -192,3 +192,59 @@ class TestSamplingProgramCensus:
             "a collective larger than the l0 k/v gather appeared: "
             f"{max_bytes(cols)}"
         )
+
+
+class TestParseCollectives:
+    def test_async_start_counts_result_element_only(self):
+        """TPU HLO emits async collectives whose result is an
+        (operand, result[, contexts]) tuple — summing every typed leaf
+        would double-count (~2x for all-reduce, operand+gathered for
+        all-gather)."""
+        from ccedit_tpu.parallel.audit import parse_collectives
+
+        hlo = """
+  %ag = (bf16[2,8,768,40], bf16[2,8,6144,40]) all-gather-start(%x), dimensions={2}
+  %ar = (f32[128,64], f32[128,64]) all-reduce-start(%y), to_apply=%add
+  %sync = bf16[2,8,6144,40] all-gather(%z), dimensions={2}
+"""
+        cols = parse_collectives(hlo)
+        assert [c.op for c in cols] == ["all-gather", "all-reduce",
+                                        "all-gather"]
+        kv = 2 * 8 * 6144 * 40 * 2
+        assert cols[0].nbytes == kv            # result element only
+        assert cols[1].nbytes == 128 * 64 * 4  # not doubled
+        assert cols[2].nbytes == kv            # sync form: the single leaf
+
+
+class TestMeshPlanEdges:
+    def test_shard_batch_replicates_scalar_leaves(self):
+        """A batch pytree may carry scalar metadata (frame counts, flags):
+        batch_spec(0) must be P() — a rank-1 spec on a rank-0 value is a
+        device_put rank mismatch."""
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from ccedit_tpu.parallel.mesh import make_mesh, shard_batch
+
+        plan = make_mesh(jax.devices(), data=8, model=1)
+        assert plan.batch_spec(0) == P()
+        out = shard_batch(plan, {"video": jnp.zeros((8, 4, 8, 8, 3)),
+                                 "num_frames": jnp.asarray(17)})
+        assert out["num_frames"].shape == ()
+        assert int(out["num_frames"]) == 17
+
+    def test_zero_shardings_respect_custom_axis_name(self):
+        """MeshPlan.data_axis exists to make the axis name configurable —
+        the ZeRO specs must use it, not a hardcoded 'data'."""
+        import jax
+        from jax.sharding import Mesh
+
+        import numpy as np
+
+        from ccedit_tpu.parallel.mesh import MeshPlan
+        from ccedit_tpu.parallel.zero import zero_shardings
+
+        mesh = Mesh(np.array(jax.devices()).reshape(8), ("dp",))
+        plan = MeshPlan(mesh=mesh, data_axis="dp")
+        specs = zero_shardings({"w": jax.numpy.ones((16, 8))}, plan)
+        assert specs["w"].spec == jax.sharding.PartitionSpec("dp", None)

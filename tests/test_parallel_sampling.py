@@ -172,3 +172,30 @@ class TestSingleClipFrameSharding:
         np.testing.assert_allclose(
             np.asarray(plain), np.asarray(sharded), rtol=2e-4, atol=2e-4
         )
+
+    def test_frame_sharded_sample_enters_mesh_context(self, monkeypatch):
+        """GSPMD cannot partition a pallas_call, so the library entry point
+        must trace under ops.attention.mesh_context — otherwise on real TPU
+        the flash kernels lower unpartitioned and XLA replicates their
+        operands, silently forfeiting the clip sharding."""
+        from ccedit_tpu.ops import attention
+        from ccedit_tpu.parallel.sampling import make_frame_sharded_sample
+
+        entered = []
+        real_ctx = attention.mesh_context
+
+        class SpyCtx(real_ctx):
+            def __enter__(self):
+                entered.append((self.mesh, self.axis))
+                return super().__enter__()
+
+        monkeypatch.setattr(attention, "mesh_context", SpyCtx)
+
+        t = 16
+        engine, params, c, uc = self._setup(t)
+        z_shape = (1, t, 8, 8, 4)
+        plan = make_mesh(jax.devices(), data=8, model=1)
+        fn = make_frame_sharded_sample(engine, plan, z_shape, num_steps=None)
+        fn(params, c, uc, jax.random.PRNGKey(5))
+        assert entered, "make_frame_sharded_sample never entered mesh_context"
+        assert entered[0] == (plan.mesh, plan.data_axis)

@@ -219,3 +219,21 @@ def test_trainer_refuses_quantized_mode(tmp_path):
     finally:
         quant.set_quantized_matmul(False)
     assert_exact_arithmetic()  # no raise when exact
+
+
+def test_trainer_refuses_quantized_qk_attention():
+    """QK8 attention would run an int8-approximate FORWARD while its custom
+    VJP differentiates the exact recompute — an inconsistent fwd/bwd pair,
+    so the trainer guard must cover the attention flag too (not just the
+    W8A8 matmul flag)."""
+    from ccedit_tpu.ops import attention
+    from ccedit_tpu.train.trainer import assert_exact_arithmetic
+
+    qk_before = attention._QUANT["qk"]
+    try:
+        attention.set_quantized_qk(True)
+        with pytest.raises(RuntimeError):
+            assert_exact_arithmetic()
+    finally:
+        attention._QUANT["qk"] = qk_before
+    assert_exact_arithmetic()

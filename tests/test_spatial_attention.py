@@ -71,6 +71,14 @@ def test_supported_gate():
     assert _pick_qb(768, 6144) == 256
 
 
+def test_supported_gate_respects_itemsize():
+    # fp32 k/v occupy double the bf16 footprint the 4 MB residency budget
+    # was measured for: a shape inside budget at bf16 must be rejected at
+    # fp32 rather than overflow scoped VMEM at run time
+    assert supported(6144, 6144, 128, itemsize=2)       # 3.1 MB bf16 k+v
+    assert not supported(6144, 6144, 128, itemsize=4)   # 6.3 MB fp32 k+v
+
+
 def test_dispatch_gate_matches_backend():
     q = jnp.zeros((2, 2, 6144, 40))
     k = jnp.zeros((2, 2, 6144, 40))
@@ -140,6 +148,49 @@ class TestTrainingGrads:
         vt = _rand(k3, (64, 2, 12, 40))
         gk = jax.grad(loss_kern, argnums=(0, 1, 2))(qt, kt, vt)
         gx = jax.grad(loss_xla, argnums=(0, 1, 2))(qt, kt, vt)
+        for a, b in zip(gk, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=2e-3)
+
+    def test_grad_through_flash_branch_uses_custom_vjp(self, monkeypatch):
+        """Flash-eligible but not kv-resident shapes (d>128, or k/v past the
+        VMEM residency gate) run the stock kernel with TUNED blocks that
+        lack bwd specs — the stock kernel's own VJP raises on them, so the
+        branch must route through the module's custom VJP (bwd = shared
+        recompute).  A fake flash module stands in for the TPU kernel; the
+        wiring under test is the custom_vjp dispatch, not the kernel."""
+        import types
+
+        from ccedit_tpu.ops import attention as att
+
+        monkeypatch.setattr(att, "_is_tpu", lambda: True)
+        monkeypatch.setattr(att, "_kv_resident_ok", lambda q, k: False)
+
+        class FakeBlocks:
+            def __init__(self, **kw):
+                pass
+
+        def fake_flash(q, k, v, causal=False, sm_scale=1.0, block_sizes=None):
+            return att._xla_attention(q, k, v, sm_scale)
+
+        monkeypatch.setattr(att, "_flash_fn", lambda: types.SimpleNamespace(
+            BlockSizes=FakeBlocks, flash_attention=fake_flash))
+
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
+        q = _rand(k1, (1, 2, 512, 160))
+        k = _rand(k2, (1, 2, 512, 160))
+        v = _rand(k3, (1, 2, 512, 160))
+        assert att._flash_ok(q, k) and not att._kv_resident_ok(q, k)
+
+        def loss_kern(q, k, v):
+            return jnp.sum(att.dot_product_attention(q, k, v) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(
+                att.dot_product_attention(q, k, v, force_xla=True) ** 2)
+
+        gk = jax.grad(loss_kern, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(gk, gx):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-3, rtol=2e-3)
